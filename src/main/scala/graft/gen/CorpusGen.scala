@@ -1,0 +1,96 @@
+package graft.gen
+
+import graft.job.Span
+import scala.util.Random
+
+/** Deterministic corpus generator (FIXTURES.md; SURVEY.md §5.2).
+  *
+  * Seed = 42; per-doc RNG = Random(seed + docId) so generation is
+  * order-independent and distributable (each Spark task generates its
+  * own id range with no coordination).
+  */
+object CorpusGen {
+
+  val Seed = 42L
+  private val langs = Vector("en", "fr", "es", "zh", "de")
+
+  /** One corpus row + its golden expectation. */
+  final case class GoldenDoc(
+      url: String,
+      warcTsMicros: Long, // µs since epoch, deterministic
+      payload: Array[Byte], // PDF or HTML bytes
+      wetText: String, // WET-style raw text (not the oracle)
+      lang: String,
+      kind: String, // "pdf" | "html"
+      expectedText: String,
+      expectedSpans: Vector[Span])
+
+  /** Base timestamp 2026-01-01T00:00:00Z in µs. */
+  private val T0 = 1767225600000000L
+
+  def isPdfDoc(docId: Long): Boolean = docId % 3 == 0
+
+  def langOf(docId: Long): String = langs((docId % langs.size).toInt)
+
+  /** Generate document `docId` of the corpus. */
+  def doc(docId: Long): GoldenDoc = {
+    val rng = new Random(Seed + docId)
+    val lang = langOf(docId)
+    val url = s"https://synth.test/$lang/$docId"
+    val ts = T0 + docId * 61000000L
+    val big = rng.nextInt(100) == 0 // 1% big-doc tail (skew exercise)
+    if (isPdfDoc(docId)) {
+      val spec = pdfSpec(docId, lang, rng)
+      val pool = TextGen.pool(lang, spec.fontKind)
+      val paras = TextGen.docParagraphs(rng, pool, big)
+      // distribute paragraphs over pages
+      val pages: Vector[PdfBuilder.PageParas] =
+        if (spec.nPages == 1) Vector(paras)
+        else {
+          val per = math.max(1, paras.size / spec.nPages)
+          val grouped = paras.grouped(per).toVector
+          // merge overflow into the last page; pad empty pages
+          val g = if (grouped.size > spec.nPages)
+            grouped.take(spec.nPages - 1) :+ grouped.drop(spec.nPages - 1).flatten
+          else grouped
+          g.padTo(spec.nPages, Vector.empty[PdfBuilder.Para])
+        }
+      val built = PdfBuilder.build(spec, pages, rng)
+      GoldenDoc(url, ts, built.bytes, wetOf(built.text), lang, "pdf",
+        built.text, built.spans)
+    } else {
+      val spec = HtmlBuilder.specFor(docId, rng)
+      val pool = TextGen.pool(lang, -1)
+      val paras = TextGen.docParagraphs(rng, pool, big)
+      val built = HtmlBuilder.build(spec, paras.map(_.map(_.mkString(" "))), rng)
+      GoldenDoc(url, ts, built.bytes, built.wetText, lang, "html",
+        built.text, built.spans)
+    }
+  }
+
+  /** PDF feature axes per doc — cycling assignment guarantees full
+    * coverage of each axis over any ~60 consecutive PDF docs
+    * (FIXTURES.md §3.1), with rng jitter for the extras.
+    */
+  def pdfSpec(docId: Long, lang: String, rng: Random): PdfBuilder.Spec = {
+    val i = (docId / 3).toInt // dense index over PDF docs
+    PdfBuilder.Spec(
+      xrefKind = i % 4,
+      filterKind = (i / 4) % 5,
+      showKind = (i / 20) % 3,
+      posKind = (i / 60) % 3,
+      fontKind = if (lang == "zh") 3 else i % 4, // zh needs Type0
+      nPages = if (i % 5 == 4) 3 else 1,
+      formXObject = rng.nextInt(4) == 0,
+      inlineImage = rng.nextInt(4) == 0,
+      markedContent = rng.nextInt(3) == 0,
+      junkAfterEof = rng.nextInt(5) == 0,
+      indirectLength = rng.nextInt(4) == 0)
+  }
+
+  /** WET-style flattened text: expected text with newlines as spaces —
+    * plus it is NOT the oracle, so exact shape is unimportant.
+    */
+  private def wetOf(text: String): String =
+    text.replace("\n\n", " ").replace('\n', ' ')
+}

@@ -1,0 +1,707 @@
+package graft.gen
+
+import graft.job.Span
+import graft.pdf.Glyphs
+import scala.collection.mutable.ArrayBuffer
+import scala.util.Random
+
+/** Deterministic PDF builder — the extraction oracle's input half
+  * (FIXTURES.md §3.1; SURVEY.md §5.2).
+  *
+  * Renders known paragraph text into honest PDF bytes (real offsets,
+  * real xref tables / xref streams / ObjStm, real Flate via Deflater,
+  * real fonts incl. /Differences, /ToUnicode bfchar+bfrange and Type0
+  * Identity-H) and returns the canonical expected text per
+  * SURVEY.md Appendix A. The extractor must invert this byte-for-byte.
+  */
+object PdfBuilder {
+
+  final case class Built(bytes: Array[Byte], text: String, spans: Vector[Span])
+
+  type Line = Vector[String] // words
+  type Para = Vector[Line]
+  type PageParas = Vector[Para]
+
+  /** Feature axes (FIXTURES.md §3.1). */
+  final case class Spec(
+      xrefKind: Int, // 0 classic | 1 xref stream | 2 classic+Prev | 3 ObjStm
+      filterKind: Int, // 0 none | 1 flate | 2 ahx | 3 a85 | 4 a85+flate chain
+      showKind: Int, // 0 Tj | 1 TJ kerning | 2 '/" forms
+      posKind: Int, // 0 Td | 1 Tm | 2 T*+TL
+      fontKind: Int, // 0 WinAnsi | 1 Differences | 2 ToUnicode bfchar | 3 Type0 Identity-H
+      nPages: Int, // 1 | 3 (intermediate /Pages node when 3)
+      formXObject: Boolean,
+      inlineImage: Boolean,
+      markedContent: Boolean,
+      junkAfterEof: Boolean,
+      indirectLength: Boolean)
+
+  private val FS = 12.0 // font size
+  private val LineDy = 14.4 // 1.2 em -> single \n (App. A: 0.5 < 1.2 < 1.8)
+  private val ParaDy = 28.8 // 2.4 em -> "\n\n"
+  private val WordGapTJ = -250 // -0.25 em >= 0.18 -> space
+  private val KernGapTJ = -20 // -0.02 em < 0.18 -> no space
+
+  /** Unicode → WinAnsi code (generator-side reverse of Glyphs.winAnsi). */
+  private lazy val winAnsiRev: Map[Int, Int] =
+    Glyphs.winAnsi.zipWithIndex.collect { case (cp, code) if cp >= 0 => cp -> code }
+      .groupBy(_._1).map { case (cp, xs) => cp -> xs.map(_._2).min }
+
+  /** Differences remaps used by fontKind 1: code → (glyphName, unicode). */
+  private val diffMap: Vector[(Int, String, Char)] = Vector(
+    (200, "alpha", 'α'), (201, "beta", 'β'),
+    (202, "gamma", 'γ'), (203, "Euro", '€'))
+
+  // ------------------------------------------------------------------
+  // low-level file assembler
+  // ------------------------------------------------------------------
+
+  private final class FileAsm {
+    final case class Obj(num: Int, body: Array[Byte], packable: Boolean)
+    val objs = new ArrayBuffer[Obj]
+    val updates = new ArrayBuffer[(Int, Array[Byte])] // for /Prev incremental
+    private var next = 1
+
+    def alloc(): Int = { val n = next; next += 1; n }
+    def add(body: String, packable: Boolean = false): Int = {
+      val n = alloc(); objs += Obj(n, latin1(body), packable); n
+    }
+    def addAt(num: Int, body: String, packable: Boolean = false): Int = {
+      objs += Obj(num, latin1(body), packable); num
+    }
+    def addBytes(body: Array[Byte]): Int = {
+      val n = alloc(); objs += Obj(n, body, packable = false); n
+    }
+    def addUpdate(num: Int, body: String): Unit = updates += ((num, latin1(body)))
+    def maxNum: Int = next - 1
+
+    /** Serialize with the requested xref flavor. */
+    def finish(xrefKind: Int, junk: Boolean, rng: Random): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(16384)
+      def w(s: String): Unit = out.write(latin1(s))
+      def wB(b: Array[Byte]): Unit = out.write(b, 0, b.length)
+      w("%PDF-1.7\n%âãÏÓ\n")
+      val offsets = scala.collection.mutable.Map.empty[Int, Long]
+
+      def writeObj(num: Int, body: Array[Byte]): Unit = {
+        offsets(num) = out.size().toLong
+        w(s"$num 0 obj\n"); wB(body); w("\nendobj\n")
+      }
+
+      xrefKind match {
+        case 0 | 2 =>
+          objs.foreach(o => writeObj(o.num, o.body))
+          val xref1 = out.size().toLong
+          writeClassicXref(out, offsets.toMap, 0 to maxNum, trailer(None))
+          if (xrefKind == 2 && updates.nonEmpty) {
+            // incremental update: overriding bodies + xref2 with /Prev
+            updates.foreach { case (num, body) => writeObj(num, body) }
+            val xref2 = out.size().toLong
+            writeClassicXref(out, offsets.toMap, updates.map(_._1).sorted.toSeq,
+              trailer(Some(xref1)))
+            w(s"startxref\n$xref2\n%%EOF\n")
+          } else {
+            w(s"startxref\n$xref1\n%%EOF\n")
+          }
+        case 1 =>
+          objs.foreach(o => writeObj(o.num, o.body))
+          (updates.toSeq).foreach { case (num, body) => writeObj(num, body) }
+          val xn = alloc()
+          val xoff = out.size().toLong
+          offsets(xn) = xoff
+          wB(xrefStreamObj(xn, offsets.toMap, Map.empty))
+          w(s"startxref\n$xoff\n%%EOF\n")
+        case 3 =>
+          // pack packable objects into an ObjStm; streams stay top-level
+          val packed = objs.filter(_.packable).toVector
+          val loose = objs.filterNot(_.packable).toVector
+          loose.foreach(o => writeObj(o.num, o.body))
+          val stmNum = alloc()
+          val header = new StringBuilder
+          val bodyB = new java.io.ByteArrayOutputStream()
+          var off = 0
+          packed.foreach { o =>
+            header.append(s"${o.num} $off ")
+            bodyB.write(o.body, 0, o.body.length)
+            bodyB.write(' ')
+            off += o.body.length + 1
+          }
+          val hdr = latin1(header.toString)
+          val raw = hdr ++ bodyB.toByteArray
+          val defl = flate(raw)
+          offsets(stmNum) = out.size().toLong
+          w(s"$stmNum 0 obj\n<< /Type /ObjStm /N ${packed.size} /First ${hdr.length} " +
+            s"/Filter /FlateDecode /Length ${defl.length} >>\nstream\n")
+          wB(defl)
+          w("\nendstream\nendobj\n")
+          val typ2 = packed.zipWithIndex.map { case (o, i) => o.num -> ((stmNum, i)) }.toMap
+          val xn = alloc()
+          val xoff = out.size().toLong
+          offsets(xn) = xoff
+          val looseOffsets = offsets.toMap -- typ2.keys
+          wB(xrefStreamObj(xn, looseOffsets, typ2))
+          w(s"startxref\n$xoff\n%%EOF\n")
+      }
+      if (junk) w("% trailing junk the lexer must tolerate\nGARBAGE bytes \n")
+      out.toByteArray
+    }
+
+    private def trailer(prev: Option[Long]): String = {
+      val p = prev.map(o => s" /Prev $o").getOrElse("")
+      s"trailer\n<< /Size ${maxNum + 1} /Root 1 0 R$p >>\n"
+    }
+
+    private def writeClassicXref(out: java.io.ByteArrayOutputStream,
+                                 offsets: Map[Int, Long], nums: Seq[Int],
+                                 trailerStr: String): Unit = {
+      def w(s: String): Unit = out.write(latin1(s))
+      w("xref\n")
+      // contiguous subsections
+      val sorted = nums.distinct.sorted
+      var i = 0
+      while (i < sorted.length) {
+        var j = i
+        while (j + 1 < sorted.length && sorted(j + 1) == sorted(j) + 1) j += 1
+        val start = sorted(i)
+        val hasFree = start == 0
+        w(s"$start ${j - i + 1}\n")
+        (i to j).foreach { k =>
+          val n = sorted(k)
+          if (n == 0) w(f"${0}%010d ${65535}%05d f \n")
+          else w(f"${offsets.getOrElse(n, 0L)}%010d ${0}%05d n \n")
+        }
+        i = j + 1
+      }
+      w(trailerStr)
+    }
+
+    /** /Type/XRef stream with PNG Up predictor (exercises F1* + X4). */
+    private def xrefStreamObj(selfNum: Int, inFile: Map[Int, Long],
+                              inStm: Map[Int, (Int, Int)]): Array[Byte] = {
+      val size = maxNum + 1
+      val rowLen = 7 // W [1 4 2]
+      val rows = new Array[Byte](size * rowLen)
+      def putRow(num: Int, t: Int, f2: Long, f3: Int): Unit = {
+        val p = num * rowLen
+        rows(p) = t.toByte
+        rows(p + 1) = ((f2 >> 24) & 0xff).toByte
+        rows(p + 2) = ((f2 >> 16) & 0xff).toByte
+        rows(p + 3) = ((f2 >> 8) & 0xff).toByte
+        rows(p + 4) = (f2 & 0xff).toByte
+        rows(p + 5) = ((f3 >> 8) & 0xff).toByte
+        rows(p + 6) = (f3 & 0xff).toByte
+      }
+      putRow(0, 0, 0, 65535)
+      inFile.foreach { case (n, off) => putRow(n, 1, off, 0) }
+      inStm.foreach { case (n, (stm, idx)) => putRow(n, 2, stm.toLong, idx) }
+      // PNG Up predictor encode
+      val enc = new Array[Byte](size * (rowLen + 1))
+      val prev = new Array[Byte](rowLen)
+      var r = 0
+      while (r < size) {
+        enc(r * (rowLen + 1)) = 2 // Up
+        var c = 0
+        while (c < rowLen) {
+          enc(r * (rowLen + 1) + 1 + c) = (rows(r * rowLen + c) - prev(c)).toByte
+          c += 1
+        }
+        System.arraycopy(rows, r * rowLen, prev, 0, rowLen)
+        r += 1
+      }
+      val defl = flate(enc)
+      val dict = s"<< /Type /XRef /Size $size /W [1 4 2] /Index [0 $size] /Root 1 0 R " +
+        s"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns $rowLen >> " +
+        s"/Length ${defl.length} >>"
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(latin1(s"$selfNum 0 obj\n$dict\nstream\n"))
+      out.write(defl, 0, defl.length)
+      out.write(latin1("\nendstream\nendobj\n"))
+      out.toByteArray
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // filter encoders (inverse of graft.pdf.Filters)
+  // ------------------------------------------------------------------
+
+  private def latin1(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+
+  private def flate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) {
+      val n = d.deflate(buf)
+      out.write(buf, 0, n)
+    }
+    d.end()
+    out.toByteArray
+  }
+
+  private def ahxEncode(data: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder(data.length * 2 + 8)
+    var i = 0
+    while (i < data.length) {
+      sb.append(f"${data(i) & 0xff}%02X")
+      if (i % 32 == 31) sb.append('\n')
+      i += 1
+    }
+    sb.append('>')
+    latin1(sb.toString)
+  }
+
+  private def a85Encode(data: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder(data.length * 5 / 4 + 8)
+    var i = 0
+    while (i + 4 <= data.length) {
+      val v = ((data(i) & 0xffL) << 24) | ((data(i + 1) & 0xffL) << 16) |
+        ((data(i + 2) & 0xffL) << 8) | (data(i + 3) & 0xffL)
+      if (v == 0) sb.append('z')
+      else {
+        var x = v
+        val grp = new Array[Char](5)
+        var k = 4
+        while (k >= 0) { grp(k) = ('!' + (x % 85)).toChar; x /= 85; k -= 1 }
+        sb.appendAll(grp)
+      }
+      if (i % 60 == 56) sb.append('\n')
+      i += 4
+    }
+    val rem = data.length - i
+    if (rem > 0) {
+      var v = 0L
+      var k = 0
+      while (k < 4) { v = (v << 8) | (if (k < rem) data(i + k) & 0xffL else 0L); k += 1 }
+      val grp = new Array[Char](5)
+      var x = v
+      k = 4
+      while (k >= 0) { grp(k) = ('!' + (x % 85)).toChar; x /= 85; k -= 1 }
+      sb.appendAll(grp.take(rem + 1))
+    }
+    sb.append("~>")
+    latin1(sb.toString)
+  }
+
+  /** Encode stream data per filterKind; returns (filterClause, bytes). */
+  private def encodeStream(data: Array[Byte], filterKind: Int): (String, Array[Byte]) =
+    filterKind match {
+      case 0 => ("", data)
+      case 1 => ("/Filter /FlateDecode ", flate(data))
+      case 2 => ("/Filter /ASCIIHexDecode ", ahxEncode(data))
+      case 3 => ("/Filter /ASCII85Decode ", a85Encode(data))
+      case 4 => ("/Filter [/ASCII85Decode /FlateDecode] ", a85Encode(flate(data)))
+      case _ => ("", data)
+    }
+
+  // ------------------------------------------------------------------
+  // string encoding per font kind
+  // ------------------------------------------------------------------
+
+  /** Escape + encode a text run as a PDF literal string for 1-byte fonts.
+    * `codeOf` maps a char to its byte code. Occasionally uses octal
+    * escapes for high bytes (exercises the lexer).
+    */
+  private def literalString(s: String, codeOf: Char => Int, rng: Random): String = {
+    val sb = new StringBuilder(s.length + 8)
+    sb.append('(')
+    s.foreach { ch =>
+      val code = codeOf(ch)
+      code match {
+        case '(' => sb.append("\\(")
+        case ')' => sb.append("\\)")
+        case '\\' => sb.append("\\\\")
+        case c if c >= 0x80 =>
+          if (rng.nextInt(3) == 0) sb.append(f"\\${c}%03o")
+          else sb.append(c.toChar)
+        case c if c < 0x20 => sb.append(f"\\${c}%03o")
+        case c => sb.append(c.toChar)
+      }
+    }
+    sb.append(')')
+    sb.toString
+  }
+
+  /** Hex string of 2-byte codes for Type0 fonts. */
+  private def hexString(codes: Seq[Int]): String =
+    codes.map(c => f"$c%04X").mkString("<", "", ">")
+
+  // ------------------------------------------------------------------
+  // the builder
+  // ------------------------------------------------------------------
+
+  /** Font-kind-specific encoder state. */
+  private final class FontEnc(fontKind: Int) {
+    // fontKind 3: char → 2-byte code assignments
+    val cidOf = scala.collection.mutable.LinkedHashMap.empty[Char, Int]
+    private var nextCid = 0x0100
+
+    def cid(ch: Char): Int = {
+      if (ch >= 'a' && ch <= 'z') 0x0200 + (ch - 'a') // incrementing bfrange
+      else cidOf.getOrElseUpdate(ch, { val c = nextCid; nextCid += 1; c })
+    }
+
+    // fontKind 2: chars deliberately remapped away from their WinAnsi slot
+    val bfcharRemap: Map[Char, Int] = Map('ω' -> 0xD7, '✓' -> 0xD8)
+
+    def codeOf(ch: Char): Int = fontKind match {
+      case 1 =>
+        diffMap.find(_._3 == ch) match {
+          case Some((code, _, _)) => code
+          case None => winAnsiRev.getOrElse(ch.toInt, '?'.toInt)
+        }
+      case 2 =>
+        bfcharRemap.getOrElse(ch, winAnsiRev.getOrElse(ch.toInt, '?'.toInt))
+      case _ => winAnsiRev.getOrElse(ch.toInt, '?'.toInt)
+    }
+
+    /** Text run → show-string (literal for 1-byte kinds, hex for Type0).
+      * For Type0, surrogate pairs consume one CID per code point.
+      */
+    def showString(s: String, rng: Random): String = {
+      if (fontKind == 3) {
+        val codes = ArrayBuffer.empty[Int]
+        var i = 0
+        while (i < s.length) {
+          val cp = s.codePointAt(i)
+          if (Character.isSupplementaryCodePoint(cp)) {
+            codes += cidOf.getOrElseUpdate(('￿'), 0x0400) // sentinel slot
+            i += Character.charCount(cp)
+          } else {
+            codes += cid(s.charAt(i))
+            i += 1
+          }
+        }
+        hexString(codes.toSeq)
+      } else literalString(s, codeOf, rng)
+    }
+  }
+
+  /** Build the /ToUnicode CMap stream body for the font kind. */
+  private def toUnicodeBody(fontKind: Int, enc: FontEnc): String = {
+    val sb = new StringBuilder
+    sb.append("/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n")
+    sb.append("/CMapName /Synth-UCS def\n/CMapType 2 def\n")
+    if (fontKind == 3) {
+      sb.append("1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n")
+      // incrementing bfrange for a-z at 0x0200
+      sb.append("1 beginbfrange\n<0200> <0219> <0061>\nendbfrange\n")
+      // array-form bfrange over the ad-hoc CID slots
+      val adhoc = enc.cidOf.toVector.sortBy(_._2)
+      if (adhoc.nonEmpty) {
+        adhoc.grouped(64).foreach { chunk =>
+          // chunk entries may be non-contiguous; emit contiguous runs
+          var i = 0
+          val runs = ArrayBuffer.empty[Vector[(Char, Int)]]
+          var cur = Vector(chunk.head)
+          chunk.tail.foreach { e =>
+            if (e._2 == cur.last._2 + 1) cur :+= e
+            else { runs += cur; cur = Vector(e) }
+          }
+          runs += cur
+          sb.append(s"${runs.size} beginbfrange\n")
+          runs.foreach { run =>
+            val lo = run.head._2; val hi = run.last._2
+            val dsts = run.map { case (ch, _) =>
+              if (ch == '￿') "<D835DC9C>" // U+1D49C surrogate pair
+              else f"<${ch.toInt}%04X>"
+            }
+            sb.append(f"<$lo%04X> <$hi%04X> [${dsts.mkString(" ")}]\n")
+          }
+          sb.append("endbfrange\n")
+        }
+      }
+    } else if (fontKind == 2) {
+      sb.append("1 begincodespacerange\n<00> <FF>\nendcodespacerange\n")
+      // remapped codes via bfchar; base chars fall through to WinAnsi? No:
+      // ToUnicode wins (§9.10.2a), so cover ALL printable codes used.
+      // bfchar for remaps + identity bfranges for ASCII + Latin-1.
+      sb.append(s"${enc.bfcharRemap.size} beginbfchar\n")
+      enc.bfcharRemap.foreach { case (ch, code) =>
+        sb.append(f"<$code%02X> <${ch.toInt}%04X>\n")
+      }
+      sb.append("endbfchar\n")
+      sb.append("2 beginbfrange\n<20> <7E> <0020>\n<A0> <FF> <00A0>\nendbfrange\n")
+    }
+    sb.append("endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend\n")
+    sb.toString
+  }
+
+  // ------------------------------------------------------------------
+
+  /** Build a document. `pageParas(p)` = paragraphs of page p; each
+    * paragraph is a list of lines; each line a list of words.
+    * Returns the canonical expected text per Appendix A.
+    */
+  def build(spec: Spec, pageParas: Vector[PageParas], rng: Random): Built = {
+    val asm = new FileAsm
+    val enc = new FontEnc(spec.fontKind)
+
+    // --- reserve core object numbers
+    val catalogNum = asm.alloc() // 1
+    val pagesNum = asm.alloc() // 2
+    val fontNum = asm.alloc()
+
+    // font + ToUnicode + descendants
+    val fontBody: String = spec.fontKind match {
+      case 0 =>
+        "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>"
+      case 1 =>
+        val diffs = diffMap.map { case (c, n, _) => s"$c /$n" }.mkString(" ")
+        "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+          s"/Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding /Differences [$diffs] >> >>"
+      case 2 =>
+        val tuNum = asm.alloc()
+        s"<< /Type /Font /Subtype /TrueType /BaseFont /Synthetica /Encoding /WinAnsiEncoding /ToUnicode $tuNum 0 R >>"
+      case 3 =>
+        val descNum = asm.alloc()
+        val tuNum = asm.alloc()
+        s"<< /Type /Font /Subtype /Type0 /BaseFont /Synth-CID /Encoding /Identity-H " +
+          s"/DescendantFonts [$descNum 0 R] /ToUnicode $tuNum 0 R >>"
+      case _ => "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    }
+
+    // --- render pages
+    val pageTexts = ArrayBuffer.empty[String]
+    val contentNums = ArrayBuffer.empty[Int]
+    val formNums = ArrayBuffer.empty[(String, Int)] // resource name -> obj
+
+    pageParas.zipWithIndex.foreach { case (paras, pIdx) =>
+      val (content, expected, forms) = renderPage(spec, paras, enc, rng, pIdx)
+      pageTexts += expected
+      forms.foreach { case (rn, body) =>
+        val (fc, data) = encodeStream(latin1(body), 1) // forms always Flate
+        val n = asm.addBytes(latin1(s"<< /Subtype /Form /Type /XObject /BBox [0 0 612 792] " +
+          s"$fc/Length ${data.length} >>\nstream\n") ++ data ++ latin1("\nendstream"))
+        formNums += ((rn, n))
+      }
+      val (fc, data) = encodeStream(latin1(content), spec.filterKind)
+      val cNum =
+        if (spec.indirectLength) {
+          val lenNum = asm.alloc()
+          val n = asm.addBytes(latin1(s"<< $fc/Length $lenNum 0 R >>\nstream\n") ++
+            data ++ latin1("\nendstream"))
+          asm.addAt(lenNum, data.length.toString, packable = true)
+          n
+        } else {
+          asm.addBytes(latin1(s"<< $fc/Length ${data.length} >>\nstream\n") ++
+            data ++ latin1("\nendstream"))
+        }
+      contentNums += cNum
+    }
+
+    // decoy override for xrefKind 2: page 0 content is superseded via /Prev
+    if (spec.xrefKind == 2) {
+      // the object written in the main body is a DECOY; the update wins
+      val decoy = "BT /F1 12 Tf 72 720 Td (DECOY TEXT not extracted) Tj ET"
+      val (fc, data) = encodeStream(latin1(decoy), spec.filterKind)
+      val real = asm.objs.find(_.num == contentNums(0)).get
+      val decoyBody = latin1(s"<< $fc/Length ${data.length} >>\nstream\n") ++
+        data ++ latin1("\nendstream")
+      // swap: body1 gets decoy, update gets the real content
+      val idx = asm.objs.indexWhere(_.num == contentNums(0))
+      asm.objs(idx) = asm.objs(idx).copy(body = decoyBody)
+      asm.addUpdate(contentNums(0), new String(real.body, "ISO-8859-1"))
+    }
+
+    // --- resources
+    val fontsRes = s"/Font << /F1 $fontNum 0 R >>"
+    val xobjRes =
+      if (formNums.isEmpty) ""
+      else " /XObject << " + formNums.map { case (rn, n) => s"/$rn $n 0 R" }.mkString(" ") + " >>"
+    val resBody = s"<< $fontsRes$xobjRes >>"
+    val resNum = asm.add(resBody, packable = true)
+
+    // --- page tree
+    val pageNums = contentNums.zipWithIndex.map { case (cNum, i) =>
+      // pages inherit /Resources and /MediaBox from the tree when nPages=3
+      val own = if (spec.nPages == 1)
+        s"/Resources $resNum 0 R /MediaBox [0 0 612 792] "
+      else ""
+      asm.add(s"<< /Type /Page /Parent $pagesNum 0 R $own/Contents $cNum 0 R >>",
+        packable = true)
+    }
+    if (spec.nPages == 1) {
+      asm.addAt(pagesNum,
+        s"<< /Type /Pages /Kids [${pageNums.map(n => s"$n 0 R").mkString(" ")}] /Count ${pageNums.size} >>",
+        packable = true)
+    } else {
+      // intermediate /Pages node carrying inherited attributes (X6)
+      val midNum = asm.alloc()
+      asm.addAt(midNum,
+        s"<< /Type /Pages /Parent $pagesNum 0 R /Resources $resNum 0 R /MediaBox [0 0 612 792] " +
+          s"/Kids [${pageNums.map(n => s"$n 0 R").mkString(" ")}] /Count ${pageNums.size} >>",
+        packable = true)
+      asm.addAt(pagesNum, s"<< /Type /Pages /Kids [$midNum 0 R] /Count ${pageNums.size} >>",
+        packable = true)
+    }
+    asm.addAt(catalogNum, s"<< /Type /Catalog /Pages $pagesNum 0 R >>", packable = true)
+    asm.addAt(fontNum, fontBody, packable = spec.fontKind <= 1)
+
+    // ToUnicode / descendant font objects (numbers were reserved in order)
+    if (spec.fontKind == 2) {
+      val tuNum = fontNum + 1
+      val body = toUnicodeBody(2, enc)
+      val defl = flate(latin1(body))
+      asm.addAt(tuNum, s"<< /Filter /FlateDecode /Length ${defl.length} >>\nstream\n" +
+        new String(defl, "ISO-8859-1") + "\nendstream")
+    } else if (spec.fontKind == 3) {
+      val descNum = fontNum + 1
+      val tuNum = fontNum + 2
+      asm.addAt(descNum,
+        "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Synth-CID " +
+          "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> /DW 500 " +
+          "/W [512 [600 600 600]] >>",
+        packable = true)
+      val body = toUnicodeBody(3, enc)
+      val defl = flate(latin1(body))
+      asm.addAt(tuNum, s"<< /Filter /FlateDecode /Length ${defl.length} >>\nstream\n" +
+        new String(defl, "ISO-8859-1") + "\nendstream")
+    }
+
+    val bytes = asm.finish(spec.xrefKind, spec.junkAfterEof, rng)
+
+    // canonical text: pages joined "\n\n", one span per page
+    val sb = new java.lang.StringBuilder
+    val spans = Vector.newBuilder[Span]
+    var emitted = 0
+    pageTexts.zipWithIndex.foreach { case (t, p) =>
+      if (t.nonEmpty) {
+        if (emitted > 0) sb.append("\n\n")
+        val start = sb.length
+        sb.append(t)
+        spans += Span(start, sb.length, p, "pdf-text")
+        emitted += 1
+      }
+    }
+    Built(bytes, sb.toString, spans.result())
+  }
+
+  /** Locale-safe 1-decimal formatting (never a decimal comma). */
+  private def d1(x: Double): String =
+    String.format(java.util.Locale.ROOT, "%.1f", Double.box(x))
+
+  /** Render one page's content stream. Returns (content, expectedText,
+    * form xobjects to register).
+    * The expected text is built IN LOCKSTEP with the emitted operators,
+    * applying Appendix A: lines joined '\n', paragraphs '\n\n'.
+    */
+  private def renderPage(spec: Spec, paras: PageParas,
+                         enc: FontEnc, rng: Random,
+                         pIdx: Int): (String, String, Vector[(String, String)]) = {
+    val ops = new StringBuilder
+    val exp = new java.lang.StringBuilder
+    val forms = Vector.newBuilder[(String, String)]
+    var y = 720.0
+    var first = true // no line emitted yet on this page
+    var needAbsolute = true // BT was (re)opened: next line positions absolutely
+
+    ops.append("% synthetic page content\n")
+    if (spec.markedContent) ops.append("/Synth BMC\n")
+    ops.append("BT\n/F1 12 Tf\n")
+
+    // a paragraph rendered inside a form XObject (extra axis)
+    val formParaIdx = if (spec.formXObject && paras.size >= 2) 1 else -1
+
+    /** Position to the next line and show it. dy = 0 for page's first line. */
+    def emitLine(lineText: String, dy: Double): Unit = {
+      val useQuote = spec.showKind == 2 && !needAbsolute && dy > 0
+      if (useQuote) {
+        // '/" forms carry their own T* line advance via TL
+        if (dy != LineDy) ops.append(s"${d1(dy)} TL\n")
+        val s = enc.showString(lineText, rng)
+        if (rng.nextInt(3) == 0) ops.append(s"0.5 0.1 $s \"\n")
+        else ops.append(s"$s '\n")
+        if (dy != LineDy) ops.append(s"${d1(LineDy)} TL\n")
+      } else {
+        spec.posKind match {
+          case 0 =>
+            if (needAbsolute) ops.append(s"72 ${d1(y)} Td\n")
+            else ops.append(s"0 ${d1(-dy)} Td\n")
+          case 1 =>
+            ops.append(s"1 0 0 1 72 ${d1(y)} Tm\n")
+          case _ =>
+            if (needAbsolute) ops.append(s"${d1(LineDy)} TL\n72 ${d1(y)} Td\n")
+            else if (dy == LineDy) ops.append("T*\n")
+            else ops.append(s"${d1(dy)} TL\nT*\n${d1(LineDy)} TL\n")
+        }
+        emitShow(ops, spec, lineText, enc, rng)
+      }
+      needAbsolute = false
+    }
+
+    paras.zipWithIndex.foreach { case (lines, paraIdx) =>
+      if (paraIdx == formParaIdx) {
+        // close the text object, draw this paragraph inside a form XObject
+        ops.append("ET\n")
+        val rn = s"Fx$pIdx"
+        val formOps = new StringBuilder
+        formOps.append("BT\n/F1 12 Tf\n")
+        lines.zipWithIndex.foreach { case (words, li) =>
+          y -= (if (first) 0 else if (li == 0) ParaDy else LineDy)
+          val lineText = words.mkString(" ")
+          formOps.append(s"1 0 0 1 72 ${d1(y)} Tm\n")
+          formOps.append(enc.showString(lineText, rng)).append(" Tj\n")
+          if (!first) exp.append(if (li == 0) "\n\n" else "\n")
+          exp.append(lineText)
+          first = false
+        }
+        formOps.append("ET\n")
+        forms += ((rn, formOps.toString))
+        ops.append(s"q 1 0 0 1 0 0 cm /$rn Do Q\n")
+        ops.append("BT\n/F1 12 Tf\n")
+        needAbsolute = true
+      } else {
+        lines.zipWithIndex.foreach { case (words, li) =>
+          val dy = if (first) 0.0 else if (li == 0) ParaDy else LineDy
+          y -= dy
+          val lineText = words.mkString(" ")
+          // quote-flow needs a TL before the first positioned line
+          if (spec.showKind == 2 && needAbsolute) {
+            ops.append(s"${d1(LineDy)} TL\n72 ${d1(y)} Td\n")
+            emitShow(ops, spec, lineText, enc, rng)
+            needAbsolute = false
+          } else emitLine(lineText, dy)
+          if (!first) exp.append(if (li == 0) "\n\n" else "\n")
+          exp.append(lineText)
+          first = false
+        }
+        // inline image between paragraphs (extra axis)
+        if (spec.inlineImage && paraIdx == 0) {
+          ops.append("ET\n")
+          // raw data with a non-delimited "EI" trap (EIx / yEI) inside
+          ops.append("BI /W 4 /H 4 /CS /G /BPC 8 ID ")
+          ops.append("EIxyEIzq9w7k4p2m")
+          ops.append(" EI\nBT\n/F1 12 Tf\n")
+          needAbsolute = true
+        }
+      }
+    }
+    ops.append("ET\n")
+    if (spec.markedContent) ops.append("EMC\n")
+    (ops.toString, exp.toString, forms.result())
+  }
+
+  /** Emit the show op for one line: Tj or TJ-with-kerning. */
+  private def emitShow(ops: StringBuilder, spec: Spec, lineText: String,
+                       enc: FontEnc, rng: Random): Unit = {
+    if (spec.showKind == 1) {
+      // TJ: word gaps as numbers above the space threshold; occasional
+      // intra-word kerning split below it.
+      val words = lineText.split(' ')
+      val parts = ArrayBuffer.empty[String]
+      words.zipWithIndex.foreach { case (w, i) =>
+        if (i > 0) parts += WordGapTJ.toString
+        if (w.length >= 4 && rng.nextInt(4) == 0) {
+          val cut = 1 + rng.nextInt(w.length - 2)
+          parts += enc.showString(w.substring(0, cut), rng)
+          parts += KernGapTJ.toString
+          parts += enc.showString(w.substring(cut), rng)
+        } else parts += enc.showString(w, rng)
+      }
+      ops.append(parts.mkString("[", " ", "]")).append(" TJ\n")
+    } else {
+      ops.append(enc.showString(lineText, rng)).append(" Tj\n")
+    }
+  }
+}

@@ -1,0 +1,71 @@
+package graft.gen
+
+import scala.util.Random
+
+/** Deterministic word-salad text source (FIXTURES.md §3).
+  *
+  * A fixed 256-word list built from syllables, plus per-language accent
+  * words chosen to be encodable under each PDF font kind. Seeded
+  * per-document by the caller — order-independent generation.
+  */
+object TextGen {
+
+  private val syllables = Vector(
+    "ka", "ro", "mi", "ta", "lo", "ne", "su", "ve", "da", "pi", "zu", "fa",
+    "ge", "hi", "jo", "ku", "len", "mar", "nor", "pes", "qui", "ril", "sol",
+    "tun", "ul", "vor", "wen", "xi", "yor", "zam")
+
+  /** Fixed 256-word base list (ASCII only). */
+  val baseWords: Vector[String] = {
+    (0 until 900).map { i =>
+      val a = syllables(i % syllables.size)
+      val b = syllables((i / syllables.size + i) % syllables.size)
+      if (i % 3 == 0) a + b + syllables((i * 7 + 3) % syllables.size) else a + b
+    }.distinct.take(256).toVector
+  }
+
+  /** Accent words per language, all WinAnsi-encodable. */
+  private val langWords: Map[String, Vector[String]] = Map(
+    "en" -> Vector("quartz", "sphinx", "jumble"),
+    "fr" -> Vector("été", "àprès", "çedille", "fôret", "île"),
+    "es" -> Vector("niño", "ágil", "índigo", "córdoba", "útil"),
+    "de" -> Vector("über", "größe", "ähnlich", "öfter", "straße"),
+    "zh" -> Vector("漢字", "測試", "文本", "提取", "引擎")) // Type0 only
+
+  /** Extra words exercising font-specific mappings. */
+  private val diffWords = Vector("αβγ", "€uro", "βeta") // fontKind 1
+  private val bfcharWords = Vector("ωmega", "✓check") // fontKind 2
+  private val cidWords = Vector("𝒜script", "漢字", "Ünïcødé") // fontKind 3
+
+  /** Word pool for a (lang, pdfFontKind) combination. fontKind -1 = HTML
+    * (anything goes; HTML is UTF-8).
+    */
+  def pool(lang: String, fontKind: Int): Vector[String] = {
+    val base = baseWords
+    fontKind match {
+      case -1 => base ++ langWords.getOrElse(lang, Vector.empty)
+      case 0 => base ++ (if (lang != "zh") langWords.getOrElse(lang, Vector.empty) else Vector.empty)
+      case 1 => base ++ diffWords
+      case 2 => base ++ bfcharWords
+      case 3 => base ++ langWords.getOrElse(lang, Vector.empty) ++ cidWords
+      case _ => base
+    }
+  }
+
+  /** One paragraph: 1–3 lines of 4–8 words. */
+  def paragraph(rng: Random, pool: Vector[String]): PdfBuilder.Para = {
+    val nLines = 1 + rng.nextInt(3)
+    Vector.fill(nLines) {
+      val nWords = 4 + rng.nextInt(5)
+      Vector.fill(nWords)(pool(rng.nextInt(pool.size)))
+    }
+  }
+
+  /** Paragraphs for a whole document, with the 1% big-doc tail
+    * (FIXTURES.md §3: ×100 paragraphs to exercise skew salting).
+    */
+  def docParagraphs(rng: Random, pool: Vector[String], big: Boolean): Vector[PdfBuilder.Para] = {
+    val n = (1 + rng.nextInt(12)) * (if (big) 100 else 1)
+    Vector.fill(n)(paragraph(rng, pool))
+  }
+}

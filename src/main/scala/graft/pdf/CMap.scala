@@ -1,0 +1,153 @@
+package graft.pdf
+
+import scala.collection.mutable
+
+/** /ToUnicode CMap parser (SURVEY.md §2.4 FN4; ISO 32000-1 §9.10.3 and
+  * the Adobe CMap/CIDFont spec).
+  *
+  * Parses the PostScript-subset stream grammar with the shared Lexer:
+  * codespacerange (code byte lengths), bfchar (src → dst), bfrange
+  * (lo hi dst-hex with last-unit increment, or lo hi [dst array]).
+  * UTF-16BE destinations are kept as Java Strings (surrogate pairs work
+  * out naturally).
+  */
+final class ToUnicodeCMap(
+    val codeSpace: Vector[(Long, Long, Int)], // (lo, hi, nBytes)
+    singles: Map[Long, String],
+    ranges: Vector[(Long, Long, Either[String, Vector[String]])]) {
+
+  /** Code byte-lengths present in the codespace (ascending). */
+  val codeLengths: Vector[Int] =
+    if (codeSpace.isEmpty) Vector(1) else codeSpace.map(_._3).distinct.sorted
+
+  def lookup(code: Long): Option[String] =
+    singles.get(code).orElse {
+      ranges.collectFirst {
+        case (lo, hi, dst) if code >= lo && code <= hi =>
+          dst match {
+            case Left(base) =>
+              if (base.isEmpty) ""
+              else {
+                val delta = (code - lo).toInt
+                val chars = base.toCharArray
+                chars(chars.length - 1) = (chars(chars.length - 1) + delta).toChar
+                new String(chars)
+              }
+            case Right(arr) =>
+              val i = (code - lo).toInt
+              if (i < arr.length) arr(i) else ""
+          }
+      }
+    }
+
+  /** Number of bytes the code starting at `bytes(pos)` occupies, per the
+    * codespace ranges; falls back to the longest declared code length.
+    */
+  def codeLen(bytes: Array[Byte], pos: Int): Int = {
+    val remain = bytes.length - pos
+    var i = 0
+    while (i < codeSpace.length) {
+      val (lo, hi, n) = codeSpace(i)
+      if (n <= remain) {
+        var v = 0L
+        var k = 0
+        while (k < n) { v = (v << 8) | (bytes(pos + k) & 0xff); k += 1 }
+        if (v >= lo && v <= hi) return n
+      }
+      i += 1
+    }
+    math.min(math.max(codeLengths.last, 1), math.max(remain, 1))
+  }
+
+  def isEmpty: Boolean = singles.isEmpty && ranges.isEmpty
+}
+
+object ToUnicodeCMap {
+
+  val empty = new ToUnicodeCMap(Vector.empty, Map.empty, Vector.empty)
+
+  private def hexToLong(b: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < b.length) { v = (v << 8) | (b(i) & 0xff); i += 1 }
+    v
+  }
+
+  /** Destination hex bytes are UTF-16BE. */
+  private def utf16be(b: Array[Byte]): String = {
+    val n = b.length / 2
+    val chars = new Array[Char](n)
+    var i = 0
+    while (i < n) {
+      chars(i) = (((b(2 * i) & 0xff) << 8) | (b(2 * i + 1) & 0xff)).toChar
+      i += 1
+    }
+    new String(chars)
+  }
+
+  def parse(data: Array[Byte]): ToUnicodeCMap = {
+    val lx = new Lexer(data)
+    val codeSpace = Vector.newBuilder[(Long, Long, Int)]
+    val singles = mutable.Map.empty[Long, String]
+    val ranges = Vector.newBuilder[(Long, Long, Either[String, Vector[String]])]
+    var tok = lx.next()
+    while (tok != Tok.TEof) {
+      tok match {
+        case Tok.TKw("begincodespacerange") =>
+          var go = true
+          while (go) {
+            lx.next() match {
+              case Tok.TStr(lo) =>
+                lx.next() match {
+                  case Tok.TStr(hi) =>
+                    codeSpace += ((hexToLong(lo), hexToLong(hi), lo.length))
+                  case _ => go = false
+                }
+              case _ => go = false // endcodespacerange or junk
+            }
+          }
+        case Tok.TKw("beginbfchar") =>
+          var go = true
+          while (go) {
+            lx.next() match {
+              case Tok.TStr(src) =>
+                lx.next() match {
+                  case Tok.TStr(dst) => singles(hexToLong(src)) = utf16be(dst)
+                  case Tok.TName(n) =>
+                    singles(hexToLong(src)) = Glyphs.glyphToUnicode(n).getOrElse("")
+                  case _ => go = false
+                }
+              case _ => go = false
+            }
+          }
+        case Tok.TKw("beginbfrange") =>
+          var go = true
+          while (go) {
+            lx.next() match {
+              case Tok.TStr(lo) =>
+                (lx.next(), lx.next()) match {
+                  case (Tok.TStr(hi), Tok.TStr(dst)) =>
+                    ranges += ((hexToLong(lo), hexToLong(hi), Left(utf16be(dst))))
+                  case (Tok.TStr(hi), Tok.TArrOpen) =>
+                    val arr = Vector.newBuilder[String]
+                    var inArr = true
+                    while (inArr) {
+                      lx.next() match {
+                        case Tok.TStr(d) => arr += utf16be(d)
+                        case Tok.TName(n) => arr += Glyphs.glyphToUnicode(n).getOrElse("")
+                        case _ => inArr = false // ]
+                      }
+                    }
+                    ranges += ((hexToLong(lo), hexToLong(hi), Right(arr.result())))
+                  case _ => go = false
+                }
+              case _ => go = false
+            }
+          }
+        case _ => () // def / dict / usecmap etc: skip
+      }
+      tok = lx.next()
+    }
+    new ToUnicodeCMap(codeSpace.result(), singles.toMap, ranges.result())
+  }
+}

@@ -1,0 +1,200 @@
+package graft.pdf
+
+import PdfObj._
+
+/** Font model + glyph decoding (SURVEY.md §2.4 FN1–FN3, FN6;
+  * ISO 32000-1 §9.5–9.10).
+  *
+  * Unicode preference order per §9.10.2: (a) /ToUnicode CMap,
+  * (b) /Encoding (+/Differences) glyph names via AGL,
+  * (c) fallback: the base encoding's codepoint, else U+FFFD-free skip.
+  */
+final case class FontInfo(
+    name: String, // resource name, diagnostics only
+    subtype: String,
+    bytesPerCode: Int, // 1 simple, 2 Identity-H (refined by CMap codespace)
+    toUnicode: ToUnicodeCMap,
+    encTable: Array[Int], // simple fonts: code -> codepoint (may be null)
+    diffNames: Map[Int, String], // /Differences overrides: code -> glyph name
+    widths: Map[Int, Int], // code -> width (1000-em units)
+    defaultWidth: Int,
+    isType0: Boolean,
+    identityCid: Boolean) {
+
+  /** Decode one code to its Unicode string ("" = unmapped). */
+  def codeToUnicode(code: Int): String = {
+    if (!toUnicode.isEmpty) {
+      toUnicode.lookup(code.toLong) match {
+        case Some(s) if s.nonEmpty => return s
+        case _ => ()
+      }
+    }
+    diffNames.get(code).flatMap(Glyphs.glyphToUnicode) match {
+      case Some(s) => s
+      case None =>
+        if (!isType0 && encTable != null && code >= 0 && code < 256 && encTable(code) >= 0)
+          new String(Character.toChars(encTable(code)))
+        else if (isType0)
+          "" // Identity CID with no ToUnicode: unmappable (SURVEY §2.4 FN3)
+        else if (code >= 0x20 && code <= 0xFF)
+          code.toChar.toString // last-resort Latin-1 passthrough (§9.10.2 c)
+        else ""
+    }
+  }
+
+  /** Glyph advance width in text-space units per em-1000. */
+  def width(code: Int): Int = widths.getOrElse(code, defaultWidth)
+
+  /** Split a show-string's bytes into codes. */
+  def codes(bytes: Array[Byte]): Array[Int] = {
+    if (bytesPerCode == 1 && toUnicode.codeSpace.isEmpty) {
+      val out = new Array[Int](bytes.length)
+      var i = 0
+      while (i < bytes.length) { out(i) = bytes(i) & 0xff; i += 1 }
+      out
+    } else if (bytesPerCode == 2 && toUnicode.codeSpace.isEmpty) {
+      val n = bytes.length / 2
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        out(i) = ((bytes(2 * i) & 0xff) << 8) | (bytes(2 * i + 1) & 0xff)
+        i += 1
+      }
+      out
+    } else {
+      // variable-length codes per the ToUnicode codespace
+      val out = Array.newBuilder[Int]
+      var p = 0
+      while (p < bytes.length) {
+        val n = toUnicode.codeLen(bytes, p)
+        var v = 0
+        var k = 0
+        while (k < n && p + k < bytes.length) { v = (v << 8) | (bytes(p + k) & 0xff); k += 1 }
+        out += v
+        p += math.max(n, 1)
+      }
+      out.result()
+    }
+  }
+}
+
+object Fonts {
+
+  /** Build a FontInfo from a font dict (cached per (doc, resource name)
+    * by the interpreter).
+    */
+  def load(doc: PdfDocument, resName: String, fontDict: PDict): FontInfo = {
+    val subtype = doc.resolve(fontDict.get("Subtype").getOrElse(PNull)) match {
+      case PName(s) => s
+      case _ => "Type1"
+    }
+    val baseFont = doc.resolve(fontDict.get("BaseFont").getOrElse(PNull)) match {
+      case PName(s) => s
+      case _ => ""
+    }
+    val toUni: ToUnicodeCMap = doc.resolve(fontDict.get("ToUnicode").getOrElse(PNull)) match {
+      case s: PStream =>
+        try ToUnicodeCMap.parse(doc.decodeStream(s))
+        catch { case _: Exception => ToUnicodeCMap.empty }
+      case _ => ToUnicodeCMap.empty
+    }
+
+    if (subtype == "Type0") loadType0(doc, resName, fontDict, toUni)
+    else loadSimple(doc, resName, fontDict, subtype, baseFont, toUni)
+  }
+
+  private def loadSimple(doc: PdfDocument, resName: String, fontDict: PDict,
+                         subtype: String, baseFont: String,
+                         toUni: ToUnicodeCMap): FontInfo = {
+    // /Encoding: name, or dict {/BaseEncoding, /Differences}
+    var encTable: Array[Int] = Glyphs.standard
+    var diffs = Map.empty[Int, String]
+    def baseByName(n: String): Array[Int] = n match {
+      case "WinAnsiEncoding" => Glyphs.winAnsi
+      case "MacRomanEncoding" => Glyphs.macRoman
+      case "StandardEncoding" => Glyphs.standard
+      case _ => Glyphs.standard
+    }
+    doc.resolve(fontDict.get("Encoding").getOrElse(PNull)) match {
+      case PName(n) => encTable = baseByName(n)
+      case d: PDict =>
+        d.get("BaseEncoding").map(doc.resolve) match {
+          case Some(PName(n)) => encTable = baseByName(n)
+          case _ => ()
+        }
+        d.get("Differences").map(doc.resolve) match {
+          case Some(PArray(items)) =>
+            var code = 0
+            val b = Map.newBuilder[Int, String]
+            items.foreach {
+              case PInt(v) => code = v.toInt
+              case PName(g) => b += code -> g; code += 1
+              case _ => ()
+            }
+            diffs = b.result()
+          case _ => ()
+        }
+      case _ => ()
+    }
+
+    // widths: /FirstChar + /Widths, /MissingWidth
+    val firstChar = doc.resolve(fontDict.get("FirstChar").getOrElse(PNull)) match {
+      case PInt(v) => v.toInt
+      case _ => 0
+    }
+    val widths: Map[Int, Int] = doc.resolve(fontDict.get("Widths").getOrElse(PNull)) match {
+      case PArray(items) =>
+        items.zipWithIndex.flatMap { case (w, i) =>
+          num(doc.resolve(w)).map(v => (firstChar + i) -> v.toInt)
+        }.toMap
+      case _ => Map.empty
+    }
+    val missing = doc.dictOf(fontDict.get("FontDescriptor").getOrElse(PNull))
+      .get("MissingWidth").map(doc.resolve).flatMap(int).map(_.toInt)
+      .getOrElse(Glyphs.defaultWidth(baseFont))
+
+    FontInfo(resName, subtype, 1, toUni, encTable, diffs, widths, missing,
+      isType0 = false, identityCid = false)
+  }
+
+  private def loadType0(doc: PdfDocument, resName: String, fontDict: PDict,
+                        toUni: ToUnicodeCMap): FontInfo = {
+    val identity = doc.resolve(fontDict.get("Encoding").getOrElse(PNull)) match {
+      case PName("Identity-H") | PName("Identity-V") => true
+      case _ => false
+    }
+    // /DescendantFonts [ CIDFont ] → /W ranges, /DW default 1000 (§9.7.4.3)
+    val desc: PDict = doc.resolve(fontDict.get("DescendantFonts").getOrElse(PNull)) match {
+      case PArray(items) if items.nonEmpty => doc.dictOf(items.head)
+      case _ => Empty
+    }
+    val dw = desc.get("DW").map(doc.resolve).flatMap(int).map(_.toInt).getOrElse(1000)
+    val widths: Map[Int, Int] = doc.resolve(desc.get("W").getOrElse(PNull)) match {
+      case PArray(items) =>
+        // forms: `c [w1 w2 …]` or `cFirst cLast w`
+        val b = Map.newBuilder[Int, Int]
+        var i = 0
+        val v = items.map(doc.resolve)
+        while (i < v.length) {
+          (v.lift(i), v.lift(i + 1)) match {
+            case (Some(PInt(c)), Some(PArray(ws))) =>
+              ws.zipWithIndex.foreach { case (w, k) =>
+                num(doc.resolve(w)).foreach(x => b += (c.toInt + k) -> x.toInt)
+              }
+              i += 2
+            case (Some(PInt(c1)), Some(PInt(c2))) =>
+              v.lift(i + 2).flatMap(x => num(x)).foreach { w =>
+                var c = c1.toInt
+                while (c <= c2.toInt) { b += c -> w.toInt; c += 1 }
+              }
+              i += 3
+            case _ => i += 1
+          }
+        }
+        b.result()
+      case _ => Map.empty
+    }
+    FontInfo(resName, "Type0", 2, toUni, null, Map.empty, widths, dw,
+      isType0 = true, identityCid = identity)
+  }
+}

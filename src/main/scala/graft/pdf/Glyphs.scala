@@ -1,0 +1,155 @@
+package graft.pdf
+
+/** Encoding + glyph-name tables (SURVEY.md §2.4 FN5/FN7; ISO 32000-1
+  * Annex D; Adobe Glyph List — public Adobe data).
+  *
+  * These are the immutable lookup tables shipped to executors once via
+  * `sparkContext.broadcast` (J1 in SURVEY.md §2.1).
+  */
+object Glyphs {
+
+  /** Adobe Glyph List subset: glyph name → Unicode string.
+    * Covers Standard/WinAnsi/MacRoman names + Greek + common extras.
+    */
+  val agl: Map[String, String] = {
+    // "name hex[,hex]" space-separated records, compact literal table.
+    val tbl =
+      """space 20|exclam 21|quotedbl 22|numbersign 23|dollar 24|percent 25|ampersand 26|quotesingle 27|parenleft 28|parenright 29|asterisk 2A|plus 2B|comma 2C|hyphen 2D|period 2E|slash 2F|zero 30|one 31|two 32|three 33|four 34|five 35|six 36|seven 37|eight 38|nine 39|colon 3A|semicolon 3B|less 3C|equal 3D|greater 3E|question 3F|at 40|bracketleft 5B|backslash 5C|bracketright 5D|asciicircum 5E|underscore 5F|grave 60|braceleft 7B|bar 7C|braceright 7D|asciitilde 7E|
+        |exclamdown A1|cent A2|sterling A3|currency A4|yen A5|brokenbar A6|section A7|dieresis A8|copyright A9|ordfeminine AA|guillemotleft AB|logicalnot AC|registered AE|macron AF|degree B0|plusminus B1|twosuperior B2|threesuperior B3|acute B4|mu B5|paragraph B6|periodcentered B7|cedilla B8|onesuperior B9|ordmasculine BA|guillemotright BB|onequarter BC|onehalf BD|threequarters BE|questiondown BF|
+        |Agrave C0|Aacute C1|Acircumflex C2|Atilde C3|Adieresis C4|Aring C5|AE C6|Ccedilla C7|Egrave C8|Eacute C9|Ecircumflex CA|Edieresis CB|Igrave CC|Iacute CD|Icircumflex CE|Idieresis CF|Eth D0|Ntilde D1|Ograve D2|Oacute D3|Ocircumflex D4|Otilde D5|Odieresis D6|multiply D7|Oslash D8|Ugrave D9|Uacute DA|Ucircumflex DB|Udieresis DC|Yacute DD|Thorn DE|germandbls DF|
+        |agrave E0|aacute E1|acircumflex E2|atilde E3|adieresis E4|aring E5|ae E6|ccedilla E7|egrave E8|eacute E9|ecircumflex EA|edieresis EB|igrave EC|iacute ED|icircumflex EE|idieresis EF|eth F0|ntilde F1|ograve F2|oacute F3|ocircumflex F4|otilde F5|odieresis F6|divide F7|oslash F8|ugrave F9|uacute FA|ucircumflex FB|udieresis FC|yacute FD|thorn FE|ydieresis FF|
+        |quoteleft 2018|quoteright 2019|quotedblleft 201C|quotedblright 201D|quotesinglbase 201A|quotedblbase 201E|dagger 2020|daggerdbl 2021|bullet 2022|ellipsis 2026|perthousand 2030|guilsinglleft 2039|guilsinglright 203A|fraction 2044|emdash 2014|endash 2013|trademark 2122|florin 192|circumflex 2C6|caron 2C7|breve 2D8|dotaccent 2D9|ring 2DA|ogonek 2DB|tilde 2DC|hungarumlaut 2DD|OE 152|oe 153|Scaron 160|scaron 161|Zcaron 17D|zcaron 17E|Ydieresis 178|Euro 20AC|minus 2212|fi FB01|fl FB02|dotlessi 131|Lslash 141|lslash 142|nbspace A0|sfthyphen AD|middot B7|
+        |Alpha 391|Beta 392|Gamma 393|Delta 394|Epsilon 395|Zeta 396|Eta 397|Theta 398|Iota 399|Kappa 39A|Lambda 39B|Mu 39C|Nu 39D|Xi 39E|Omicron 39F|Pi 3A0|Rho 3A1|Sigma 3A3|Tau 3A4|Upsilon 3A5|Phi 3A6|Chi 3A7|Psi 3A8|Omega 3A9|
+        |alpha 3B1|beta 3B2|gamma 3B3|delta 3B4|epsilon 3B5|zeta 3B6|eta 3B7|theta 3B8|iota 3B9|kappa 3BA|lambda 3BB|nu 3BD|xi 3BE|omicron 3BF|pi 3C0|rho 3C1|sigma1 3C2|sigma 3C3|tau 3C4|upsilon 3C5|phi 3C6|chi 3C7|psi 3C8|omega 3C9|
+        |notequal 2260|infinity 221E|lessequal 2264|greaterequal 2265|partialdiff 2202|summation 2211|product 220F|integral 222B|radical 221A|approxequal 2248|increment 2206|lozenge 25CA|apple F8FF|
+        |""".stripMargin
+    val b = Map.newBuilder[String, String]
+    tbl.split('|').foreach { rec =>
+      val r = rec.trim
+      if (r.nonEmpty) {
+        val sp = r.indexOf(' ')
+        val name = r.substring(0, sp)
+        val cps = r.substring(sp + 1).split(',').map(h => Integer.parseInt(h.trim, 16))
+        b += name -> new String(cps, 0, cps.length)
+      }
+    }
+    // single letters and digits map to themselves
+    ('A' to 'Z').foreach(c => b += c.toString -> c.toString)
+    ('a' to 'z').foreach(c => b += c.toString -> c.toString)
+    b.result()
+  }
+
+  /** Glyph name → Unicode (AGL rules): table, then uniXXXX[XXXX] and
+    * uXXXX..XXXXXX forms, then suffix-stripped retry (e.g. a.sc).
+    */
+  def glyphToUnicode(name: String): Option[String] = {
+    agl.get(name).orElse {
+      if (name.startsWith("uni") && name.length >= 7) {
+        val hex = name.substring(3)
+        if (hex.length % 4 == 0 && hex.forall(isHex)) {
+          val units = hex.grouped(4).map(h => Integer.parseInt(h, 16).toChar).toArray
+          Some(new String(units))
+        } else None
+      } else if (name.startsWith("u") && name.length >= 5 && name.length <= 7 &&
+        name.substring(1).forall(isHex)) {
+        Some(new String(Character.toChars(Integer.parseInt(name.substring(1), 16))))
+      } else {
+        val dot = name.indexOf('.')
+        if (dot > 0) glyphToUnicode(name.substring(0, dot)) else None
+      }
+    }
+  }
+
+  @inline private def isHex(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'A' && c <= 'F') || (c >= 'a' && c <= 'f')
+
+  // --- Encoding tables: code (0-255) → Unicode codepoint, -1 = undef ---
+
+  private def asciiBase(): Array[Int] = {
+    val a = Array.fill(256)(-1)
+    var i = 32
+    while (i < 127) { a(i) = i; i += 1 }
+    a
+  }
+
+  /** WinAnsiEncoding (Annex D.2): ASCII + cp1252. */
+  val winAnsi: Array[Int] = {
+    val a = asciiBase()
+    var i = 0xA0
+    while (i <= 0xFF) { a(i) = i; i += 1 } // Latin-1 high range
+    val c1 = Map(
+      0x80 -> 0x20AC, 0x82 -> 0x201A, 0x83 -> 0x0192, 0x84 -> 0x201E,
+      0x85 -> 0x2026, 0x86 -> 0x2020, 0x87 -> 0x2021, 0x88 -> 0x02C6,
+      0x89 -> 0x2030, 0x8A -> 0x0160, 0x8B -> 0x2039, 0x8C -> 0x0152,
+      0x8E -> 0x017D, 0x91 -> 0x2018, 0x92 -> 0x2019, 0x93 -> 0x201C,
+      0x94 -> 0x201D, 0x95 -> 0x2022, 0x96 -> 0x2013, 0x97 -> 0x2014,
+      0x98 -> 0x02DC, 0x99 -> 0x2122, 0x9A -> 0x0161, 0x9B -> 0x203A,
+      0x9C -> 0x0153, 0x9E -> 0x017E, 0x9F -> 0x0178)
+    c1.foreach { case (k, v) => a(k) = v }
+    a
+  }
+
+  /** MacRomanEncoding (Annex D.2). */
+  val macRoman: Array[Int] = {
+    val a = asciiBase()
+    val high =
+      "00C4 00C5 00C7 00C9 00D1 00D6 00DC 00E1 00E0 00E2 00E4 00E3 00E5 00E7 00E9 00E8 " +
+        "00EA 00EB 00ED 00EC 00EE 00EF 00F1 00F3 00F2 00F4 00F6 00F5 00FA 00F9 00FB 00FC " +
+        "2020 00B0 00A2 00A3 00A7 2022 00B6 00DF 00AE 00A9 2122 00B4 00A8 2260 00C6 00D8 " +
+        "221E 00B1 2264 2265 00A5 00B5 2202 2211 220F 03C0 222B 00AA 00BA 03A9 00E6 00F8 " +
+        "00BF 00A1 00AC 221A 0192 2248 2206 00AB 00BB 2026 00A0 00C0 00C3 00D5 0152 0153 " +
+        "2013 2014 201C 201D 2018 2019 00F7 25CA 00FF 0178 2044 00A4 2039 203A FB01 FB02 " +
+        "2021 00B7 201A 201E 2030 00C2 00CA 00C1 00CB 00C8 00CD 00CE 00CF 00CC 00D3 00D4 " +
+        "F8FF 00D2 00DA 00DB 00D9 0131 02C6 02DC 00AF 02D8 02D9 02DA 00B8 02DD 02DB 02C7"
+    high.split("\\s+").zipWithIndex.foreach { case (h, i) =>
+      a(0x80 + i) = Integer.parseInt(h, 16)
+    }
+    a
+  }
+
+  /** Adobe StandardEncoding (Annex D.2). */
+  val standard: Array[Int] = {
+    val a = asciiBase()
+    a(0x27) = 0x2019 // quoteright
+    a(0x60) = 0x2018 // quoteleft
+    val high = Map(
+      0xA1 -> 0x00A1, 0xA2 -> 0x00A2, 0xA3 -> 0x00A3, 0xA4 -> 0x2044,
+      0xA5 -> 0x00A5, 0xA6 -> 0x0192, 0xA7 -> 0x00A7, 0xA8 -> 0x00A4,
+      0xA9 -> 0x0027, 0xAA -> 0x201C, 0xAB -> 0x00AB, 0xAC -> 0x2039,
+      0xAD -> 0x203A, 0xAE -> 0xFB01, 0xAF -> 0xFB02,
+      0xB1 -> 0x2013, 0xB2 -> 0x2020, 0xB3 -> 0x2021, 0xB4 -> 0x00B7,
+      0xB6 -> 0x00B6, 0xB7 -> 0x2022, 0xB8 -> 0x201A, 0xB9 -> 0x201E,
+      0xBA -> 0x201D, 0xBB -> 0x00BB, 0xBC -> 0x2026, 0xBD -> 0x2030,
+      0xBF -> 0x00BF,
+      0xC1 -> 0x0060, 0xC2 -> 0x00B4, 0xC3 -> 0x02C6, 0xC4 -> 0x02DC,
+      0xC5 -> 0x00AF, 0xC6 -> 0x02D8, 0xC7 -> 0x02D9, 0xC8 -> 0x00A8,
+      0xCA -> 0x02DA, 0xCB -> 0x00B8, 0xCD -> 0x02DD, 0xCE -> 0x02DB,
+      0xCF -> 0x02C7, 0xD0 -> 0x2014,
+      0xE1 -> 0x00C6, 0xE3 -> 0x00AA, 0xE8 -> 0x0141, 0xE9 -> 0x00D8,
+      0xEA -> 0x0152, 0xEB -> 0x00BA, 0xF1 -> 0x00E6, 0xF5 -> 0x0131,
+      0xF8 -> 0x0142, 0xF9 -> 0x00F8, 0xFA -> 0x0153, 0xFB -> 0x00DF)
+    high.foreach { case (k, v) => a(k) = v }
+    a
+  }
+
+  /** Glyph names by code for WinAnsi — needed to seed /Differences-based
+    * fonts whose base is WinAnsi (names are looked up, then overridden).
+    * Derived by inverting `agl` over the winAnsi codepoints.
+    */
+  lazy val winAnsiNames: Array[String] = {
+    val inv: Map[Int, String] = agl.toSeq
+      .filter(_._2.length == 1)
+      .groupBy(_._2.charAt(0).toInt)
+      .map { case (cp, seq) => cp -> seq.map(_._1).minBy(_.length) }
+    winAnsi.map(cp => if (cp < 0) null else inv.getOrElse(cp, null))
+  }
+
+  /** Crude per-glyph width table (FN6 approximation): standard-14 metrics
+    * reduced to class averages — Courier fixed 600/1000 em; proportional
+    * fonts ~500/1000 average. Only feeds the same-line positional-gap
+    * heuristic (SURVEY.md App. A), never glyph output, so byte-identity
+    * of extracted text does not depend on exact AFM data.
+    */
+  def defaultWidth(baseFont: String): Int =
+    if (baseFont != null && baseFont.contains("Courier")) 600 else 500
+}

@@ -1,0 +1,46 @@
+package graft.pdf
+
+import graft.job.{Assembly, Span}
+import scala.collection.mutable
+
+/** Top-level PDF text extraction: bytes → (text, spans, nPages)
+  * (SURVEY.md §3.1 lifecycle; the `Tj/TJ` capability of BASELINE.json:6).
+  *
+  * Page texts are joined with Assembly.UnitJoin; one Span per non-empty
+  * page, kind "pdf-text" (Appendix A).
+  */
+object PdfExtractor {
+
+  final case class PdfResult(text: String, spans: Vector[Span], nPages: Int)
+
+  def isPdf(bytes: Array[Byte]): Boolean =
+    bytes.length >= 5 && bytes(0) == '%' && bytes(1) == 'P' &&
+      bytes(2) == 'D' && bytes(3) == 'F' && bytes(4) == '-'
+
+  /** Extract; throws on unrecoverable structure errors (caller maps to
+    * an error row). `inflater` comes from the per-partition ExtractCtx.
+    */
+  def extract(bytes: Array[Byte], inflater: java.util.zip.Inflater): PdfResult = {
+    val doc = new PdfDocument(bytes, inflater)
+    val fontCache = mutable.Map.empty[PdfObj, FontInfo]
+    val sb = new java.lang.StringBuilder(1024)
+    val spans = Vector.newBuilder[Span]
+    var pageIdx = 0
+    var emitted = 0
+    doc.pages.foreach { page =>
+      val content = doc.pageContent(page)
+      val text =
+        if (content.isEmpty) ""
+        else ContentInterp.run(doc, content, page.resources, fontCache)
+      if (text.nonEmpty) {
+        if (emitted > 0) sb.append(Assembly.UnitJoin)
+        val start = sb.length
+        sb.append(text)
+        spans += Span(start, sb.length, pageIdx, "pdf-text")
+        emitted += 1
+      }
+      pageIdx += 1
+    }
+    PdfResult(sb.toString, spans.result(), doc.pages.size)
+  }
+}
