@@ -1,5 +1,13 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark main (driver contract): times every
+  * SparkEntry.queries entry on SPARK_GRAFT_SF_DIR, plus the extraction
+  * pipeline on the bench-tier synthesized corpus, and prints ONE JSON
+  * line. Scaling evidence (local[8] vs local[32]) lives in
+  * graft.ScalingBench → BENCH/BASELINE.md.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +15,40 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def time[A](f: => A): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      f
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val sec = try time(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 }
+      name -> sec
+    }
+
+    // extraction throughput on the bench corpus (docs/sec headline)
+    val benchN = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS",
+      graft.gen.CorpusTables.SfBench.toString).toInt
+    val (cp, _) = graft.gen.CorpusTables.ensure(spark, SparkEntry.DataDir, benchN)
+    val corpus = graft.io.Tables.read(spark, cp)
+    val spec = graft.job.Partitioning.defaultSpec(cpus.toInt)
+    val extractSec = time {
+      graft.job.ExtractJob.plan(spark, corpus, null, spec)
+        .filter(_.error.isEmpty).count()
+    }
+    val docsPerSec = benchN / extractSec
+
+    val qs = (results :+ ("extract_bench" -> extractSec))
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum + extractSec
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"docs_per_sec":$docsPerSec%.1f,"bench_docs":$benchN,"cpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,13 +1,258 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.gen.CorpusTables
+import graft.job.{ExtractJob, Partitioning}
+import graft.ops.{Dedup, Similarity, TextAnalysis, Multimodal}
+
+/** Driver contract (SURVEY.md §3.3): flagship entry + one query per
+  * operator, with DuckDB-oracle SQL where ANSI-expressible.
+  *
+  * Extraction queries run over the synthesized corpus (FIXTURES.md) —
+  * their oracle is the golden table (byte-identity, checked in
+  * ExtractJobE2ESpec and surfaced by `x2_golden_check`); they are
+  * intentionally absent from `oracleSql`. Relational/text-analysis
+  * queries run over the driver testdata and ARE DuckDB-checked.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Local corpus cache dir (generated once, deterministic seed 42). */
+  val DataDir = "data/gen"
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def li(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/lineitem.parquet")
+  private def orders(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/orders.parquet")
+  private def customer(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/customer.parquet")
+  private def part(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/part.parquet")
+  private def events(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Extraction plan over the sf-small synthesized corpus. */
+  private def extractSmall(s: SparkSession): DataFrame = {
+    val (cp, _) = CorpusTables.ensure(s, DataDir, CorpusTables.SfSmall)
+    val corpus = graft.io.Tables.read(s, cp)
+    ExtractJob.plan(s, corpus, null, Partitioning.defaultSpec(8)).toDF()
+  }
+
+  private def goldenSmall(s: SparkSession): DataFrame = {
+    val (_, gp) = CorpusTables.ensure(s, DataDir, CorpusTables.SfSmall)
+    graft.io.Tables.read(s, gp)
+  }
+
+  /** Documents with planted duplicates (near + exact) so the dedup
+    * operators demonstrably fire on the driver corpus.
+    */
+  private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select("doc_id", "text")
+    val sample = base.filter(col("doc_id") % 97 === 0)
+    val near = sample.select((col("doc_id") + 10000000L).as("doc_id"),
+      concat(col("text"), lit(" tailword")).as("text"))
+    val exact = sample.select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+    base.unionByName(near).unionByName(exact)
+  }
+
+  /** Embeddings with planted near-duplicates (scaled copies, cos = 1). */
+  private def embWithDups(s: SparkSession, dir: String): DataFrame = {
+    val base = embeddings(s, dir).select("vec_id", "embedding")
+    val dup = base.filter(col("vec_id") % 101 === 0)
+      .select((col("vec_id") + 10000000L).as("vec_id"),
+        transform(col("embedding"), x => x * 2.0f).as("embedding"))
+    base.unionByName(dup)
+  }
+
+  /** Flagship query on sf=0.001-ish scale; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    extractSmall(spark)
+      .select("url", "kind", "nUnits", "charCount", "bytesIn", "error")
+      .orderBy("url")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- extraction capability (golden-checked, SURVEY §2.1-2.5) ----
+    "x1_extract_pipeline" -> ((s, _) => entry(s)),
+    "x2_golden_check" -> ((s, _) => {
+      val got = extractSmall(s).select(col("url"), col("text"))
+      val want = goldenSmall(s).select(col("url"),
+        col("expected_text"), col("kind"))
+      got.join(want, "url")
+        .groupBy(col("kind"), (col("text") === col("expected_text")).as("text_matches"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("kind"), col("text_matches"))
+    }),
+    "x3_spans_flat" -> ((s, _) => {
+      // UDTF shape: explode the typed span structs (SURVEY §2.6)
+      extractSmall(s).select(col("url"), explode(col("spans")).as("span"))
+        .select(col("url"), col("span.start").as("start"),
+          col("span.end").as("end"), col("span.kind").as("span_kind"))
+        .orderBy(col("url"), col("start"))
+    }),
+    "x4_metrics_agg" -> ((s, _) =>
+      extractSmall(s).groupBy("bucket", "kind")
+        .agg(count(lit(1)).as("nDocs"),
+          sum(when(col("error").isNotNull, 1L).otherwise(0L)).as("nErr"),
+          sum("charCount").as("charsOut"), sum("bytesIn").as("bytesIn"))
+        .orderBy("bucket", "kind")),
+    "x5_bucket_salt" -> ((s, _) => {
+      val (cp, _) = CorpusTables.ensure(s, DataDir, CorpusTables.SfSmall)
+      val spec = Partitioning.defaultSpec(8)
+      graft.io.Tables.read(s, cp)
+        .withColumn("bucket", Partitioning.bucketCol(spec, col("url"), col("html")))
+        .groupBy("bucket").agg(count(lit(1)).as("n"), sum(length(col("html"))).as("bytes"))
+        .orderBy("bucket")
+    }),
+
+    // ---- relational shell (DuckDB-checked, SURVEY §2.6) ----
+    "q1_agg_pushdown" -> ((s, dir) =>
+      li(s, dir)
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus")),
+    "q2_filter_project" -> ((s, dir) =>
+      li(s, dir).filter(col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")),
+    "q3_join_agg" -> ((s, dir) =>
+      orders(s, dir).join(customer(s, dir),
+        col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("revenue_cents"))
+        .orderBy("c_mktsegment")),
+    "q4_anti_join" -> ((s, dir) =>
+      customer(s, dir).join(
+        orders(s, dir).filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey").orderBy("c_custkey")),
+    "q5_semi_join" -> ((s, dir) =>
+      part(s, dir).join(li(s, dir), col("p_partkey") === col("l_partkey"), "left_semi")
+        .select("p_partkey").orderBy("p_partkey")),
+    "q6_window_latest" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      events(s, dir).withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_id", "event_type")
+        .orderBy("user_id")
+    }),
+    "q7_topk" -> ((s, dir) =>
+      docs(s, dir).orderBy(col("n_chars").desc, col("doc_id").asc)
+        .select("doc_id", "n_chars").limit(10)),
+    "q8_rollup" -> ((s, dir) =>
+      docs(s, dir).rollup("lang", "source")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+        .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)),
+    "q9_exact_dedup_stats" -> ((s, dir) =>
+      docs(s, dir).agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct"))),
+    "q10_token_stats" -> ((s, dir) =>
+      docs(s, dir).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"))
+        .orderBy("lang")),
+    "q11_quality" -> ((s, dir) =>
+      TextAnalysis.quality(docs(s, dir)).limit(2000)),
+    "q12_langid" -> ((s, dir) => TextAnalysis.langId(docs(s, dir)).limit(2000)),
+
+    // ---- dedup / similarity / fingerprint (Spark-only oracles) ----
+    "d1_exact_dedup_groups" -> ((s, dir) => Dedup.exact(docsWithDups(s, dir))),
+    "d2_minhash_pairs" -> ((s, dir) => Dedup.minhashPairs(docsWithDups(s, dir))),
+    "d3_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docsWithDups(s, dir))),
+    "d4_ngram_jaccard" -> ((s, dir) => {
+      val d = docsWithDups(s, dir)
+      Dedup.ngramJaccard(d, Dedup.minhashPairs(d).select("doc_a", "doc_b"))
+    }),
+    "d5_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir)).limit(2000)),
+    "s1_ann_brute" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val q = emb.orderBy("vec_id").limit(5)
+      Similarity.bruteForceTopK(emb, q, 10)
+        .select("query_id", "vec_id", "rank")
+    }),
+    "s2_ann_lsh" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val dim = emb.select(size(col("embedding"))).first().getInt(0)
+      val q = emb.orderBy("vec_id").limit(5)
+      Similarity.lshTopK(emb, q, 10, dim).select("query_id", "vec_id", "rank")
+    }),
+    "s3_cosine_neardups" -> ((s, dir) => {
+      val emb = embWithDups(s, dir)
+      val dim = emb.select(size(col("embedding"))).first().getInt(0)
+      Similarity.cosineNearDups(emb, dim).select("vec_a", "vec_b")
+    }),
+
+    // ---- multimodal plumbing (stubbed codec, real Spark shape) ----
+    "m1_media_features" -> ((s, _) =>
+      Multimodal.decodeAndFeaturize(Multimodal.synthesize(s, 300)).toDF()
+        .select("doc_id", "kind", "nBytes", "meanByte").orderBy("doc_id")),
+    "m2_frame_sample" -> ((s, _) =>
+      Multimodal.frameSample(Multimodal.synthesize(s, 120))
+        .select(col("doc_id"), col("frame_idx"), length(col("frame_bytes")).as("n"))
+        .orderBy("doc_id", "frame_idx")))
+
+  /** DuckDB oracle SQL (same parquet tables, same column names). */
+  def oracleSql: Map[String, String] = {
+    // SQL mirror of TextAnalysis.countOf for one character
+    def cnt(c: String) = s"(length(text) - length(replace(text, '$c', '')))"
+    val de = s"${cnt("ä")} + ${cnt("ö")} + ${cnt("ü")} + ${cnt("ß")}"
+    val fr = s"${cnt("é")} + ${cnt("è")} + ${cnt("ç")} + ${cnt("ô")} + ${cnt("î")}"
+    val es = s"${cnt("ñ")} + ${cnt("¿")} + ${cnt("¡")} + ${cnt("í")}"
+    val zh = s"${cnt("漢")} + ${cnt("字")} + ${cnt("測")} + ${cnt("試")} + ${cnt("文")} + ${cnt("本")}"
+    val toks = s"CASE WHEN length(text) = 0 THEN 0 ELSE ${cnt(" ")} + 1 END"
+
+    Map(
+      "q1_agg_pushdown" ->
+        ("SELECT l_returnflag, l_linestatus, " +
+          "CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, " +
+          "COUNT(*) AS n_rows FROM lineitem " +
+          "WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
+          "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+      "q2_filter_project" ->
+        ("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
+          "WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber"),
+      "q3_join_agg" ->
+        ("SELECT c_mktsegment, COUNT(*) AS n_orders, " +
+          "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents " +
+          "FROM orders JOIN customer ON o_custkey = c_custkey " +
+          "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+      "q4_anti_join" ->
+        ("SELECT c_custkey FROM customer WHERE NOT EXISTS " +
+          "(SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+          "AND o_totalprice > 300000) ORDER BY c_custkey"),
+      "q5_semi_join" ->
+        ("SELECT p_partkey FROM part WHERE EXISTS " +
+          "(SELECT 1 FROM lineitem WHERE l_partkey = p_partkey) ORDER BY p_partkey"),
+      "q6_window_latest" ->
+        ("SELECT user_id, event_id, event_type FROM (" +
+          "SELECT user_id, event_id, event_type, " +
+          "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
+          "FROM events) t WHERE rn = 1 ORDER BY user_id"),
+      "q7_topk" ->
+        "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 10",
+      "q8_rollup" ->
+        ("SELECT lang, source, COUNT(*) AS n, SUM(n_chars) AS chars FROM documents " +
+          "GROUP BY ROLLUP(lang, source) " +
+          "ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST"),
+      "q9_exact_dedup_stats" ->
+        "SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_distinct FROM documents",
+      "q10_token_stats" ->
+        (s"SELECT lang, COUNT(*) AS n_docs, SUM($toks) AS n_tokens " +
+          "FROM documents GROUP BY lang ORDER BY lang"),
+      "q12_langid" ->
+        (s"SELECT doc_id, CASE WHEN $zh > 0 THEN 'zh' " +
+          s"WHEN $de > $fr AND $de > $es THEN 'de' " +
+          s"WHEN $fr > $es AND $fr >= $de THEN 'fr' " +
+          s"WHEN $es > 0 THEN 'es' ELSE 'en' END AS lang_pred, " +
+          "lang AS lang_true FROM documents ORDER BY doc_id LIMIT 2000"))
+  }
 }

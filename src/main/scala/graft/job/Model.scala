@@ -22,7 +22,9 @@ final case class PageRow(
   */
 final case class Span(start: Int, end: Int, page: Int, kind: String)
 
-/** Output row of the extractor (SURVEY.md §1.3). */
+/** Output row of the extractor (SURVEY.md §1.3; `bytesIn` added so
+  * lineage metrics aggregate from the output alone, no input re-scan).
+  */
 final case class Extracted(
     url: String,
     kind: String, // "pdf" | "html" | "error"
@@ -30,6 +32,23 @@ final case class Extracted(
     spans: Seq[Span],
     nUnits: Int, // pages (pdf) / kept blocks (html)
     charCount: Int,
+    bytesIn: Long,
+    parseMillis: Long,
+    error: Option[String])
+
+/** Pruned + bucketed input of the typed transform (M1). */
+final case class BucketedRow(bucket: Int, url: String, html: Array[Byte])
+
+/** Extraction output still carrying its bucket (written partitioned). */
+final case class ExtractedRow(
+    bucket: Int,
+    url: String,
+    kind: String,
+    text: String,
+    spans: Seq[Span],
+    nUnits: Int,
+    charCount: Int,
+    bytesIn: Long,
     parseMillis: Long,
     error: Option[String])
 

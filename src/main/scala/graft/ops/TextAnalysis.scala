@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents(doc_id, text, lang, ...)`:
+  * language-ID heuristic, quality scoring, token counting, document
+  * fingerprinting. Formulas are deliberately expressible with portable
+  * SQL arithmetic (length/replace) where an independent DuckDB oracle
+  * checks them; the hash-based fingerprint is Spark-only (rows-check).
+  */
+object TextAnalysis {
+
+  /** #occurrences of a literal substring — portable across engines. */
+  def countOf(text: Column, s: String): Column =
+    ((length(text) - length(replace(text, lit(s), lit("")))) / s.length).cast("long")
+
+  /** Whitespace-token count: spaces + 1 on non-empty, single-spaced text. */
+  def tokenCount(text: Column): Column =
+    when(length(text) === 0, 0L).otherwise(countOf(text, " ") + 1L)
+
+  /** Marker-character language-ID heuristic (n-gram-lite): scores per
+    * language from characteristic characters/digraphs, argmax wins,
+    * "en" default. Deterministic; mirrors the generator's accent pools.
+    */
+  def langIdCol(text: Column): Column = {
+    val de = countOf(text, "ä") + countOf(text, "ö") + countOf(text, "ü") + countOf(text, "ß")
+    val fr = countOf(text, "é") + countOf(text, "è") + countOf(text, "ç") + countOf(text, "ô") + countOf(text, "î")
+    val es = countOf(text, "ñ") + countOf(text, "¿") + countOf(text, "¡") + countOf(text, "í")
+    val zh = countOf(text, "漢") + countOf(text, "字") + countOf(text, "測") + countOf(text, "試") +
+      countOf(text, "文") + countOf(text, "本")
+    when(zh > 0, "zh")
+      .when(de > fr && de > es, "de")
+      .when(fr > es && fr >= de, "fr")
+      .when(es > 0, "es")
+      .otherwise("en")
+  }
+
+  def langId(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), langIdCol(col("text")).as("lang_pred"),
+      col("lang").as("lang_true"))
+      .orderBy(col("doc_id"))
+
+  /** Quality score in [0,1]: length score x (1 - punct ratio) with a
+    * mean-word-length sanity band. Pure arithmetic (oracle-friendly).
+    */
+  def qualityCols(text: Column): Seq[(String, Column)] = {
+    val len = length(text).cast("double")
+    val toks = tokenCount(text).cast("double")
+    val punct = (countOf(text, ".") + countOf(text, ",") + countOf(text, "!") +
+      countOf(text, "?") + countOf(text, ";")).cast("double")
+    val meanWordLen = when(toks > 0, (len - toks + 1) / toks).otherwise(0.0)
+    val lenScore = least(len / 500.0, lit(1.0))
+    val punctRatio = when(len > 0, punct / len).otherwise(1.0)
+    val wordLenOk = when(meanWordLen >= 2.0 && meanWordLen <= 12.0, 1.0).otherwise(0.5)
+    Seq(
+      "n_tokens" -> toks.cast("long"),
+      "mean_word_len" -> round(meanWordLen, 4),
+      "punct_ratio" -> round(punctRatio, 6),
+      "quality" -> round(lenScore * (lit(1.0) - punctRatio) * wordLenOk, 6))
+  }
+
+  def quality(docs: DataFrame): DataFrame = {
+    val cols = qualityCols(col("text"))
+    docs.select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprint: min/max xxhash64 over word 5-gram rolling
+    * windows (winnowing-lite). Spark-only (no portable SQL xxhash64).
+    */
+  def fingerprint(docs: DataFrame, n: Int = 5): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      explode(Dedup.ngramCol(col("text"), n)).as("gram"))
+    grams.withColumn("h", xxhash64(col("gram")))
+      .groupBy("doc_id")
+      .agg(min("h").as("fp_min"), max("h").as("fp_max"),
+        count(lit(1)).as("n_grams"))
+      .orderBy(col("doc_id"))
+  }
+}
