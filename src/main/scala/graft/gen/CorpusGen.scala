@@ -32,8 +32,10 @@ object CorpusGen {
 
   def langOf(docId: Long): String = langs((docId % langs.size).toInt)
 
-  /** Generate document `docId` of the corpus. */
-  def doc(docId: Long): GoldenDoc = {
+  /** Generate document `docId` of the corpus. `paraScale` grows doc
+    * sizes for bench tiers (goldens always use 1).
+    */
+  def doc(docId: Long, paraScale: Int = 1): GoldenDoc = {
     val rng = new Random(Seed + docId)
     val lang = langOf(docId)
     val url = s"https://synth.test/$lang/$docId"
@@ -42,7 +44,7 @@ object CorpusGen {
     if (isPdfDoc(docId)) {
       val spec = pdfSpec(docId, lang, rng)
       val pool = TextGen.pool(lang, spec.fontKind)
-      val paras = TextGen.docParagraphs(rng, pool, big)
+      val paras = TextGen.docParagraphs(rng, pool, big, paraScale)
       // distribute paragraphs over pages
       val pages: Vector[PdfBuilder.PageParas] =
         if (spec.nPages == 1) Vector(paras)
@@ -61,7 +63,7 @@ object CorpusGen {
     } else {
       val spec = HtmlBuilder.specFor(docId, rng)
       val pool = TextGen.pool(lang, -1)
-      val paras = TextGen.docParagraphs(rng, pool, big)
+      val paras = TextGen.docParagraphs(rng, pool, big, paraScale)
       val built = HtmlBuilder.build(spec, paras.map(_.map(_.mkString(" "))), rng)
       GoldenDoc(url, ts, built.bytes, built.wetText, lang, "html",
         built.text, built.spans)

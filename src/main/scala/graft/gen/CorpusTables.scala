@@ -21,18 +21,21 @@ object CorpusTables {
   val SfMid = 5000
   val SfBench = 50000
 
-  def corpusPath(dir: String, n: Int): String = s"$dir/corpus_$n"
-  def goldenPath(dir: String, n: Int): String = s"$dir/golden_$n"
+  def corpusPath(dir: String, n: Int, paraScale: Int = 1): String =
+    if (paraScale == 1) s"$dir/corpus_$n" else s"$dir/corpus_${n}_s$paraScale"
+  def goldenPath(dir: String, n: Int, paraScale: Int = 1): String =
+    if (paraScale == 1) s"$dir/golden_$n" else s"$dir/golden_${n}_s$paraScale"
 
   /** Generate + write corpus and golden tables if absent; returns paths. */
-  def ensure(spark: SparkSession, dir: String, n: Int): (String, String) = {
-    val cp = corpusPath(dir, n)
-    val gp = goldenPath(dir, n)
+  def ensure(spark: SparkSession, dir: String, n: Int,
+             paraScale: Int = 1): (String, String) = {
+    val cp = corpusPath(dir, n, paraScale)
+    val gp = goldenPath(dir, n, paraScale)
     if (!graft.io.Tables.exists(spark, cp) || !graft.io.Tables.exists(spark, gp)) {
       import spark.implicits._
       val parts = math.max(spark.sparkContext.defaultParallelism, 4)
       val docs = spark.range(0, n, 1, parts).mapPartitions { it =>
-        it.map(id => CorpusGen.doc(id))
+        it.map(id => CorpusGen.doc(id, paraScale))
       }
       // cache NOT used: generate twice (corpus + golden) — cheaper than
       // caching binary payloads at the bench tier, and fully deterministic
@@ -42,7 +45,7 @@ object CorpusTables {
       corpus.toDF().write.mode("overwrite").parquet(cp)
       val golden = spark.range(0, n, 1, parts).mapPartitions { it =>
         it.map { id =>
-          val g = CorpusGen.doc(id)
+          val g = CorpusGen.doc(id, paraScale)
           GoldenRow(g.url, g.kind, g.expectedText, g.expectedSpans)
         }
       }

@@ -63,9 +63,13 @@ object TextGen {
 
   /** Paragraphs for a whole document, with the 1% big-doc tail
     * (FIXTURES.md §3: ×100 paragraphs to exercise skew salting).
+    * `paraScale` > 1 grows bench-tier documents toward realistic
+    * CommonCrawl sizes so timed runs reach steady state (SURVEY.md §6);
+    * capped so the big tail stays a straggler-exercise, not a wall.
     */
-  def docParagraphs(rng: Random, pool: Vector[String], big: Boolean): Vector[PdfBuilder.Para] = {
-    val n = (1 + rng.nextInt(12)) * (if (big) 100 else 1)
+  def docParagraphs(rng: Random, pool: Vector[String], big: Boolean,
+                    paraScale: Int = 1): Vector[PdfBuilder.Para] = {
+    val n = math.min((1 + rng.nextInt(12)) * (if (big) 100 else 1) * paraScale, 1500)
     Vector.fill(n)(paragraph(rng, pool))
   }
 }

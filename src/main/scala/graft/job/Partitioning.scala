@@ -19,9 +19,14 @@ object Partitioning {
 
   /** Default local spec: P = 2x cores is plenty at test scale; on a
     * 1000-executor cluster P scales with total cores (SURVEY.md §4.3).
+    * Big docs get their OWN full bucket range (not a handful): with a
+    * heavy tail, few big-buckets re-create the straggler the salt is
+    * meant to defuse.
     */
-  def defaultSpec(cores: Int): BucketSpec =
-    BucketSpec(buckets = math.max(cores * 2, 8), bigDocBytes = 4L << 20, bigBuckets = math.max(cores / 4, 2))
+  def defaultSpec(cores: Int): BucketSpec = {
+    val p = math.max(cores * 2, 8)
+    BucketSpec(buckets = p, bigDocBytes = 1L << 20, bigBuckets = p)
+  }
 
   /** Bucket column over (url, html). */
   def bucketCol(spec: BucketSpec, url: Column, html: Column): Column = {

@@ -43,7 +43,10 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, k: Int = 5, numHashes: Int = 32,
                    bands: Int = 8, minEstJaccard: Double = 0.5): DataFrame = {
-    val sigs = minhash(docs, k, numHashes)
+    // signatures feed three plan branches (bucket explode + both pair
+    // sides); persist so the shingle explosion runs once. At cluster
+    // scale this stage would be checkpointed to a table instead.
+    val sigs = minhash(docs, k, numHashes).persist()
     val rows = numHashes / bands
     val bandCols = (0 until bands).map { b =>
       val cols = (0 until rows).map(r => col(s"mh_${b * rows + r}"))
@@ -117,16 +120,21 @@ object Dedup {
     * intersection/union per pair. Shuffles on (pair, gram) — scalable.
     */
   def ngramJaccard(docs: DataFrame, cand: DataFrame, n: Int = 3): DataFrame = {
+    val c = cand.persist() // reused for both sides of the pair
     val grams = docs.select(col("doc_id"), ngramCol(col("text"), n).as("grams"))
-    val ga = cand.join(grams.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-      .select(col("doc_a"), col("doc_b"), explode(col("grams")).as("gram"))
-    val gb = cand.join(grams.withColumnRenamed("doc_id", "doc_b"), "doc_b")
-      .select(col("doc_a"), col("doc_b"), explode(col("grams")).as("gram"))
-    val inter = ga.join(gb, Seq("doc_a", "doc_b", "gram"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
-    val union = ga.union(gb).distinct()
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_union"))
-    inter.join(union, Seq("doc_a", "doc_b"))
+    val ga = c.join(grams.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .select(col("doc_a"), col("doc_b"), explode(col("grams")).as("gram"),
+        lit(1).as("in_a"), lit(0).as("in_b"))
+    val gb = c.join(grams.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), explode(col("grams")).as("gram"),
+        lit(0).as("in_a"), lit(1).as("in_b"))
+    // single aggregation chain: no pair-side self-join; shuffles on
+    // (pair, gram) then (pair) — both partial-aggregated map-side
+    ga.unionByName(gb)
+      .groupBy("doc_a", "doc_b", "gram")
+      .agg(max("in_a").as("a"), max("in_b").as("b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(col("a") * col("b")).as("n_inter"), count(lit(1)).as("n_union"))
       .select(col("doc_a"), col("doc_b"),
         (col("n_inter").cast("double") / col("n_union")).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import graft.job.{ExtractJob, Partitioning}
+
+/** Structured Streaming ingestion variant (SURVEY.md §7.5 — an
+  * extension beyond the reference capability, which is batch-only):
+  * file-source readStream → the SAME per-row extraction transform →
+  * partitioned parquet sink with checkpointing. Plus watermarked
+  * event-time metrics and a keyed-state dedup, demonstrating the
+  * streaming operator surface (watermark/window/flatMapGroupsWithState).
+  */
+object ExtractStream {
+
+  /** Streaming output row (carries event time for windowed metrics). */
+  final case class StreamExtracted(
+      bucket: Int, url: String, kind: String, text: String,
+      nUnits: Int, charCount: Int, bytesIn: Long, error: Option[String],
+      warc_ts: java.sql.Timestamp)
+
+  /** Not private: Catalyst's generated SafeProjection must instantiate it. */
+  final case class StreamIn(bucket: Int, url: String,
+                            html: Array[Byte], warc_ts: java.sql.Timestamp)
+
+  /** The streaming transform — identical extraction semantics to the
+    * batch plan (same ExtractCtx), applied microbatch-wise.
+    */
+  def transform(spark: SparkSession, pages: DataFrame,
+                spec: Partitioning.BucketSpec): Dataset[StreamExtracted] = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(ExtractJob.broadcastTables)
+    pages
+      .withColumn("bucket", Partitioning.bucketCol(spec, col("url"), col("html")))
+      .select(col("bucket"), col("url"), col("html"), col("warc_ts"))
+      .as[StreamIn]
+      .mapPartitions { it =>
+        val ctx = new ExtractJob.ExtractCtx(bc.value)
+        it.map { r =>
+          val e = ctx.extract(graft.job.BucketedRow(r.bucket, r.url, r.html))
+          StreamExtracted(e.bucket, e.url, e.kind, e.text, e.nUnits,
+            e.charCount, e.bytesIn, e.error, r.warc_ts)
+        }
+      }
+  }
+
+  /** Event-time extraction metrics: 1-hour tumbling windows on the
+    * crawl timestamp with a 2-hour watermark (late rows dropped).
+    */
+  def windowedMetrics(ds: Dataset[StreamExtracted]): DataFrame =
+    ds.withWatermark("warc_ts", "2 hours")
+      .groupBy(window(col("warc_ts"), "1 hour"), col("kind"))
+      .agg(count(lit(1)).as("nDocs"), sum("charCount").as("charsOut"))
+
+  /** Cross-microbatch first-wins dedup by url via keyed state
+    * (flatMapGroupsWithState) — recrawls of the same url are dropped.
+    */
+  def dedupByUrl(ds: Dataset[StreamExtracted]): Dataset[StreamExtracted] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.url)
+      .flatMapGroupsWithState[Boolean, StreamExtracted](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[StreamExtracted], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); rows.take(1) }
+      }
+  }
+
+  /** End-to-end stream: watch `inDir` for new corpus parquet, extract,
+    * append to a bucket-partitioned parquet sink with checkpointing.
+    */
+  def run(spark: SparkSession, inDir: String, outDir: String,
+          checkpointDir: String, spec: Partitioning.BucketSpec): StreamingQuery = {
+    val pages = spark.readStream
+      .schema("url string, warc_ts timestamp, html binary, text string, lang string")
+      .parquet(inDir)
+    transform(spark, pages, spec)
+      .writeStream
+      .format("parquet")
+      .option("checkpointLocation", checkpointDir)
+      .option("path", outDir)
+      .partitionBy("bucket")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}

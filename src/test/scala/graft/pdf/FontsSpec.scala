@@ -1,0 +1,90 @@
+package graft.pdf
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CMap + glyph mapping cases (SURVEY.md §5.3; ISO 32000-1 §9.10). */
+class FontsSpec extends AnyFunSuite {
+
+  test("bfchar: hex destinations incl. multi-char") {
+    val cmap = ToUnicodeCMap.parse(
+      """/CIDInit /ProcSet findresource begin
+        |begincmap
+        |1 begincodespacerange <00> <FF> endcodespacerange
+        |3 beginbfchar
+        |<41> <0041>
+        |<42> <03B2>
+        |<43> <00660066>
+        |endbfchar
+        |endcmap end""".stripMargin.getBytes("ISO-8859-1"))
+    assert(cmap.lookup(0x41).contains("A"))
+    assert(cmap.lookup(0x42).contains("β"))
+    assert(cmap.lookup(0x43).contains("ff"))
+    assert(cmap.lookup(0x44).isEmpty)
+  }
+
+  test("bfrange: incrementing form and array form") {
+    val cmap = ToUnicodeCMap.parse(
+      """begincmap
+        |1 begincodespacerange <0000> <FFFF> endcodespacerange
+        |1 beginbfrange
+        |<0200> <0219> <0061>
+        |endbfrange
+        |1 beginbfrange
+        |<0100> <0102> [<0058> <0059> <005A>]
+        |endbfrange
+        |endcmap""".stripMargin.getBytes("ISO-8859-1"))
+    assert(cmap.lookup(0x0200).contains("a"))
+    assert(cmap.lookup(0x0219).contains("z"))
+    assert(cmap.lookup(0x0100).contains("X"))
+    assert(cmap.lookup(0x0102).contains("Z"))
+  }
+
+  test("bfrange with surrogate pair destination") {
+    val cmap = ToUnicodeCMap.parse(
+      """begincmap
+        |1 begincodespacerange <0000> <FFFF> endcodespacerange
+        |1 beginbfchar
+        |<0400> <D835DC9C>
+        |endbfchar
+        |endcmap""".stripMargin.getBytes("ISO-8859-1"))
+    assert(cmap.lookup(0x0400).contains(new String(Character.toChars(0x1D49C))))
+  }
+
+  test("codespace drives variable code lengths") {
+    val cmap = ToUnicodeCMap.parse(
+      """begincmap
+        |2 begincodespacerange
+        |<00> <80>
+        |<8140> <FFFF>
+        |endcodespacerange
+        |endcmap""".stripMargin.getBytes("ISO-8859-1"))
+    assert(cmap.codeLen(Array(0x41.toByte, 0x42.toByte), 0) == 1)
+    assert(cmap.codeLen(Array(0x81.toByte, 0x42.toByte), 0) == 2)
+  }
+
+  test("AGL: names, uniXXXX, uXXXXX, suffixed") {
+    assert(Glyphs.glyphToUnicode("alpha").contains("α"))
+    assert(Glyphs.glyphToUnicode("Euro").contains("€"))
+    assert(Glyphs.glyphToUnicode("uni0041").contains("A"))
+    assert(Glyphs.glyphToUnicode("uni00480049").contains("HI"))
+    assert(Glyphs.glyphToUnicode("u1D49C").contains(new String(Character.toChars(0x1D49C))))
+    assert(Glyphs.glyphToUnicode("a.sc").contains("a"))
+    assert(Glyphs.glyphToUnicode("g123").isEmpty)
+  }
+
+  test("WinAnsi spot checks") {
+    assert(Glyphs.winAnsi('A') == 'A'.toInt)
+    assert(Glyphs.winAnsi(0x80) == 0x20AC) // €
+    assert(Glyphs.winAnsi(0x93) == 0x201C) // "
+    assert(Glyphs.winAnsi(0xE9) == 0x00E9) // é
+    assert(Glyphs.winAnsi(0x9F) == 0x0178) // Ÿ
+    assert(Glyphs.winAnsi(0x8D) == -1) // undefined slot
+  }
+
+  test("MacRoman + Standard spot checks") {
+    assert(Glyphs.macRoman(0x8E) == 0x00E9) // é
+    assert(Glyphs.macRoman(0xD0) == 0x2013) // –
+    assert(Glyphs.standard(0x27) == 0x2019) // quoteright
+    assert(Glyphs.standard(0xA4) == 0x2044) // fraction
+  }
+}

@@ -1,0 +1,90 @@
+package graft.pdf
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Handwritten minimal PDFs as string literals: classic table, /Prev
+  * chain first-seen-wins, recovery from broken offsets
+  * (SURVEY.md §5.3 xref cases; generator covers xref-stream/ObjStm).
+  */
+class XrefDocSpec extends AnyFunSuite {
+
+  private val inf = new java.util.zip.Inflater()
+
+  /** Assemble a PDF from parts, computing real offsets. */
+  private def pdf(objs: Seq[(Int, String)], trailerExtra: String = ""): Array[Byte] = {
+    val sb = new StringBuilder("%PDF-1.7\n")
+    val offsets = scala.collection.mutable.Map.empty[Int, Int]
+    objs.foreach { case (n, body) =>
+      offsets(n) = sb.length
+      sb.append(s"$n 0 obj\n$body\nendobj\n")
+    }
+    val xref = sb.length
+    val maxN = objs.map(_._1).max
+    sb.append(s"xref\n0 ${maxN + 1}\n")
+    (0 to maxN).foreach { n =>
+      if (n == 0) sb.append(f"${0}%010d 65535 f \n")
+      else sb.append(f"${offsets.getOrElse(n, 0)}%010d 00000 n \n")
+    }
+    sb.append(s"trailer\n<< /Size ${maxN + 1} /Root 1 0 R$trailerExtra >>\nstartxref\n$xref\n%%EOF\n")
+    sb.toString.getBytes("ISO-8859-1")
+  }
+
+  private val baseObjs = Seq(
+    1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+    2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+    3 -> "<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+    4 -> "<< /Length 44 >>\nstream\nBT /F1 12 Tf 72 720 Td (Hello World) Tj ET\nstream_pad".replace("\nstream_pad", "\nendstream"),
+    5 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>")
+
+  test("classic xref table end-to-end") {
+    val doc = new PdfDocument(pdf(baseObjs), inf)
+    assert(doc.pages.size == 1)
+    val r = PdfExtractor.extract(pdf(baseObjs), inf)
+    assert(r.text == "Hello World")
+    assert(r.spans.head.kind == "pdf-text")
+  }
+
+  test("incremental update: /Prev chain, first-seen wins") {
+    // base file, then an update section overriding object 4
+    val base = new String(pdf(baseObjs), "ISO-8859-1")
+    val xref1 = base.lastIndexOf("xref\n0 ")
+    val sb = new StringBuilder(base)
+    val newOff = sb.length
+    sb.append("4 0 obj\n<< /Length 42 >>\nstream\nBT /F1 12 Tf 72 720 Td (Updated!!) Tj ET\nendstream\nendobj\n")
+    val xref2 = sb.length
+    sb.append(s"xref\n4 1\n${"%010d".format(newOff)} 00000 n \n")
+    sb.append(s"trailer\n<< /Size 6 /Root 1 0 R /Prev $xref1 >>\nstartxref\n$xref2\n%%EOF\n")
+    val r = PdfExtractor.extract(sb.toString.getBytes("ISO-8859-1"), inf)
+    assert(r.text == "Updated!!")
+  }
+
+  test("wrong startxref offset: recovery via object scan") {
+    val good = new String(pdf(baseObjs), "ISO-8859-1")
+    // corrupt the startxref number
+    val broken = good.replaceAll("startxref\n\\d+", "startxref\n999999")
+    val r = PdfExtractor.extract(broken.getBytes("ISO-8859-1"), inf)
+    assert(r.text == "Hello World")
+  }
+
+  test("no trailer at all: catalog discovered by scan") {
+    val sb = new StringBuilder("%PDF-1.7\n")
+    baseObjs.foreach { case (n, body) => sb.append(s"$n 0 obj\n$body\nendobj\n") }
+    val r = PdfExtractor.extract(sb.toString.getBytes("ISO-8859-1"), inf)
+    assert(r.text == "Hello World")
+  }
+
+  test("encrypted documents are rejected with a typed error") {
+    val bytes = pdf(baseObjs, trailerExtra = " /Encrypt 9 0 R")
+    val e = intercept[Exception] { PdfExtractor.extract(bytes, inf) }
+    assert(e.getMessage == "encrypted")
+  }
+
+  test("/Length as indirect reference") {
+    val objs = baseObjs.map {
+      case (4, _) => 4 -> "<< /Length 6 0 R >>\nstream\nBT /F1 12 Tf 72 720 Td (Indirect) Tj ET\nendstream"
+      case o => o
+    } :+ (6 -> "41")
+    val r = PdfExtractor.extract(pdf(objs), inf)
+    assert(r.text == "Indirect")
+  }
+}
