@@ -1,67 +1,106 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import scala.sys.process._
 
-/** Two-cluster-size scaling evidence (BASELINE.json:14).
+/** Two-cluster-size scaling evidence (BASELINE.json:14): throughput at
+  * N vs 4N EXECUTORS with efficiency = thru(4N) / (4 × thru(N)).
   *
-  * No real cluster exists in this sandbox, so the N vs 4N executor
-  * criterion is evidenced by running the SAME extraction job at
-  * local[8] and local[32] on the SAME input and reporting throughput
-  * at both plus efficiency = thru(4N) / (4 × thru(N))
-  * (SURVEY.md §6; driver directive). Median of `reps` timed runs each.
+  * No real cluster exists in this sandbox, so this orchestrator uses
+  * Spark's `local-cluster[numExecutors, coresPerExec, memMB]` master —
+  * REAL multi-process executors (separate JVM heaps, real shuffle
+  * between processes) on one box — and spark-submits the same job
+  * (graft.ScalingRun) at 1 and 4 executors with a fixed per-executor
+  * shape, per the driver directive.
+  *
+  * Methodology notes (measured in this sandbox, see BENCH/BASELINE.md):
+  * - each configuration runs in FRESH JVMs (driver + executors) with an
+  *   in-session warm-up pass before the timed passes, so JIT warm-up is
+  *   paid identically by both configurations;
+  * - a raw-thread control (no Spark) showed this box scales pure
+  *   extraction ~0.95 efficient from 4→16 threads but only ~0.75 from
+  *   8→32 (memory bandwidth), so the default executor shape is 4 cores
+  *   (1×4 vs 4×4 = 4 vs 16 cores) to measure the ENGINE, not the box.
   */
 object ScalingBench {
 
   def main(args: Array[String]): Unit = {
-    val benchN = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "20000").toInt
-    // paraScale 20 grows docs toward CommonCrawl sizes so each timed run
-    // reaches steady state (>=30 s at local[32]); at the 2-second scale
-    // Spark's fixed per-job overhead dominates and the N-vs-4N ratio
-    // measures the scheduler, not the engine (SURVEY.md §6)
+    val benchN = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "320000").toInt
     val paraScale = sys.env.getOrElse("SPARK_GRAFT_PARA_SCALE", "20").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
-    val small = sys.env.getOrElse("SPARK_GRAFT_N_CORES", "8").toInt
-    val big = sys.env.getOrElse("SPARK_GRAFT_4N_CORES", "32").toInt
+    val execSmall = sys.env.getOrElse("SPARK_GRAFT_N_EXECS", "1").toInt
+    val execBig = sys.env.getOrElse("SPARK_GRAFT_4N_EXECS", "4").toInt
+    val coresPerExec = sys.env.getOrElse("SPARK_GRAFT_EXEC_CORES", "4").toInt
+    val execMemMb = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_MB", "10240").toInt
+    val jar = sys.env.getOrElse("SPARK_GRAFT_JAR",
+      "/root/repo/target/scala-2.13/pdfworkerspark_2.13-0.1.0.jar")
 
-    // generate the corpus once (with the bigger session)
-    var spark = session(big)
-    val (cp, _) = graft.gen.CorpusTables.ensure(spark, SparkEntry.DataDir, benchN, paraScale)
-
-    def runOnce(s: SparkSession, cores: Int): Double = {
-      val corpus = graft.io.Tables.read(s, cp)
-      val spec = graft.job.Partitioning.defaultSpec(cores)
-      val t0 = System.nanoTime()
-      graft.job.ExtractJob.plan(s, corpus, null, spec).filter(_.error.isEmpty).count()
-      (System.nanoTime() - t0) / 1e9
-    }
-
-    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
-
-    // warm + measure at 4N (session already up)
-    runOnce(spark, big)
-    val tBig = median((1 to reps).map(_ => runOnce(spark, big)))
-    spark.stop()
-
-    spark = session(small)
-    runOnce(spark, small)
-    val tSmall = median((1 to reps).map(_ => runOnce(spark, small)))
-    spark.stop()
-
-    val thruSmall = benchN / tSmall
-    val thruBig = benchN / tBig
-    val eff = thruBig / ((big.toDouble / small) * thruSmall)
-    println(f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio","docs":$benchN,"para_scale":$paraScale,"reps":$reps,"n_cores":$small,"t_n_sec":$tSmall%.2f,"thru_n_docs_per_sec":$thruSmall%.1f,"4n_cores":$big,"t_4n_sec":$tBig%.2f,"thru_4n_docs_per_sec":$thruBig%.1f}""")
-  }
-
-  private def session(cores: Int): SparkSession = {
-    val s = SparkSession.builder()
-      .master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", cores.toString)
+    // generate the corpus once with a plain local session
+    val gen = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
+    gen.sparkContext.setLogLevel("WARN")
+    val (cp, _) = graft.gen.CorpusTables.ensure(gen, SparkEntry.DataDir, benchN, paraScale)
+    gen.stop()
+
+    /** spark-submit one configuration; returns per-pass seconds. */
+    def submit(nExec: Int): Seq[Double] = {
+      val totalCores = nExec * coresPerExec
+      val cmd = Seq("/opt/spark/bin/spark-submit",
+        "--master", s"local-cluster[$nExec,$coresPerExec,$execMemMb]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", s"spark.sql.shuffle.partitions=$totalCores",
+        "--conf", "spark.sql.session.timeZone=UTC",
+        "--conf", "spark.driver.memory=4g",
+        // local-cluster[n,c,mem] sets only the WORKER allowance; the
+        // executor heap itself comes from spark.executor.memory
+        // (default 1g -> OOM on big-doc buckets)
+        "--conf", s"spark.executor.memory=${execMemMb - 1024}m",
+        // binary payload columns: 4096-row vectorized batches reserve
+        // rows x payload bytes contiguously (~60 MB+ with the big-doc
+        // tail) and blow the executor heap — shrink the batch, keep the
+        // vectorized reader (same setting a 100 TB deployment needs)
+        "--conf", "spark.sql.parquet.columnarReaderBatchSize=128",
+        "--class", "graft.ScalingRun", jar, cp, reps.toString)
+      val outF = new java.io.File(s"/tmp/graft_scaling_${nExec}x$coresPerExec.out")
+      val errF = new java.io.File(s"/tmp/graft_scaling_${nExec}x$coresPerExec.err")
+      val pb = new java.lang.ProcessBuilder(cmd: _*)
+      pb.redirectOutput(outF)
+      pb.redirectError(errF)
+      val code = pb.start().waitFor()
+      val outLines = java.nio.file.Files.readAllLines(outF.toPath)
+      val line = {
+        val it = outLines.iterator()
+        var found: String = null
+        while (it.hasNext && found == null) {
+          val l = it.next()
+          if (l.startsWith("SCALING_RUN_JSON")) found = l
+        }
+        if (found == null)
+          sys.error(s"spark-submit (exit $code) produced no result; see $errF")
+        found
+      }
+      val runs = line.substring(line.indexOf("\"runs\":[") + 8)
+        .takeWhile(_ != ']').split(',').map(_.toDouble).toSeq
+      System.err.println(s"[scaling] $nExec execs x $coresPerExec cores: " +
+        runs.map(t => f"$t%.2f").mkString(", "))
+      runs
+    }
+
+    val tsSmall = submit(execSmall)
+    val tsBig = submit(execBig)
+    val tSmall = tsSmall.min
+    val tBig = tsBig.min
+    val thruSmall = benchN / tSmall
+    val thruBig = benchN / tBig
+    val ratio = execBig.toDouble / execSmall
+    val eff = thruBig / (ratio * thruSmall)
+    val effMed = (benchN / median(tsBig)) / (ratio * (benchN / median(tsSmall)))
+    println(f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio","eff_median":$effMed%.3f,"docs":$benchN,"para_scale":$paraScale,"reps":$reps,"mode":"local-cluster","cores_per_executor":$coresPerExec,"n_executors":$execSmall,"t_n_sec":$tSmall%.2f,"thru_n_docs_per_sec":$thruSmall%.1f,"4n_executors":$execBig,"t_4n_sec":$tBig%.2f,"thru_4n_docs_per_sec":$thruBig%.1f,"runs_n":[${tsSmall.map(t => f"$t%.2f").mkString(",")}],"runs_4n":[${tsBig.map(t => f"$t%.2f").mkString(",")}]}""")
   }
+
+  private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 }

@@ -18,8 +18,10 @@ import graft.ops.{Dedup, Similarity, TextAnalysis, Multimodal}
   */
 object SparkEntry {
 
-  /** Local corpus cache dir (generated once, deterministic seed 42). */
-  val DataDir = "data/gen"
+  /** Local corpus cache dir (generated once, deterministic seed 42).
+    * Absolute so driver-side invocations from any CWD share the cache.
+    */
+  val DataDir = "/root/repo/data/gen"
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
@@ -209,6 +211,10 @@ object SparkEntry {
     val es = s"${cnt("ñ")} + ${cnt("¿")} + ${cnt("¡")} + ${cnt("í")}"
     val zh = s"${cnt("漢")} + ${cnt("字")} + ${cnt("測")} + ${cnt("試")} + ${cnt("文")} + ${cnt("本")}"
     val toks = s"CASE WHEN length(text) = 0 THEN 0 ELSE ${cnt(" ")} + 1 END"
+    val punct = Seq(".", ",", "!", "?", ";").map(cnt).mkString(" + ")
+    val mwl = s"CASE WHEN $toks > 0 THEN (CAST(length(text) AS DOUBLE) - $toks + 1) / $toks ELSE 0.0 END"
+    val pr = s"CASE WHEN length(text) > 0 THEN CAST($punct AS DOUBLE) / length(text) ELSE 1.0 END"
+    val wlok = s"CASE WHEN ($mwl) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END"
 
     Map(
       "q1_agg_pushdown" ->
@@ -248,6 +254,11 @@ object SparkEntry {
       "q10_token_stats" ->
         (s"SELECT lang, COUNT(*) AS n_docs, SUM($toks) AS n_tokens " +
           "FROM documents GROUP BY lang ORDER BY lang"),
+      "q11_quality" ->
+        (s"SELECT doc_id, CAST($toks AS BIGINT) AS n_tokens, " +
+          s"ROUND($mwl, 4) AS mean_word_len, ROUND($pr, 6) AS punct_ratio, " +
+          s"ROUND(LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * (1.0 - ($pr)) * ($wlok), 6) AS quality " +
+          "FROM documents ORDER BY doc_id LIMIT 2000"),
       "q12_langid" ->
         (s"SELECT doc_id, CASE WHEN $zh > 0 THEN 'zh' " +
           s"WHEN $de > $fr AND $de > $es THEN 'de' " +

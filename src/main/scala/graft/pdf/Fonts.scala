@@ -21,8 +21,28 @@ final case class FontInfo(
     isType0: Boolean,
     identityCid: Boolean) {
 
+  // decode caches: glyph decoding is the hottest per-character path of
+  // the whole engine; caching turns repeated map lookups + String
+  // allocations into an array/hash hit (per font instance, which the
+  // interpreter already caches per document)
+  private[this] val cache256: Array[String] =
+    if (!isType0) new Array[String](256) else null
+  private[this] val cacheWide = new scala.collection.mutable.LongMap[String](64)
+
   /** Decode one code to its Unicode string ("" = unmapped). */
   def codeToUnicode(code: Int): String = {
+    if (cache256 != null && code >= 0 && code < 256) {
+      val c = cache256(code)
+      if (c != null) return c
+      val v = decodeUncached(code)
+      cache256(code) = v
+      v
+    } else {
+      cacheWide.getOrElseUpdate(code.toLong, decodeUncached(code))
+    }
+  }
+
+  private def decodeUncached(code: Int): String = {
     if (!toUnicode.isEmpty) {
       toUnicode.lookup(code.toLong) match {
         case Some(s) if s.nonEmpty => return s
@@ -42,8 +62,17 @@ final case class FontInfo(
     }
   }
 
+  private[this] val widthCache256: Array[Int] = {
+    val a = new Array[Int](256)
+    var i = 0
+    while (i < 256) { a(i) = widths.getOrElse(i, defaultWidth); i += 1 }
+    a
+  }
+
   /** Glyph advance width in text-space units per em-1000. */
-  def width(code: Int): Int = widths.getOrElse(code, defaultWidth)
+  def width(code: Int): Int =
+    if (code >= 0 && code < 256) widthCache256(code)
+    else widths.getOrElse(code, defaultWidth)
 
   /** Split a show-string's bytes into codes. */
   def codes(bytes: Array[Byte]): Array[Int] = {

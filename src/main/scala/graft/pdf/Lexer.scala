@@ -144,19 +144,40 @@ final class Lexer(val buf: Array[Byte], var pos: Int, val end: Int) {
     TName(sb.toString)
   }
 
-  /** Number: int or real, optional sign, forms like 4. .5 -.002 (§7.3.3). */
+  /** Number: int or real, optional sign, forms like 4. .5 -.002
+    * (§7.3.3). Allocation-free: numbers dominate content streams.
+    */
   private def lexNumber(): Tok = {
     val start = pos
-    var isReal = false
-    if (cur == '+' || cur == '-') pos += 1
-    while (cur >= '0' && cur <= '9') pos += 1
-    if (cur == '.') { isReal = true; pos += 1; while (cur >= '0' && cur <= '9') pos += 1 }
-    val s = new String(buf, start, pos - start, "ISO-8859-1")
-    if (isReal) TReal(if (s == "." || s == "-." || s == "+.") 0.0 else s.toDouble)
-    else if (s.isEmpty || s == "+" || s == "-") TJunk(at(start))
-    else
-      try TInt(s.toLong)
-      catch { case _: NumberFormatException => TReal(s.toDouble) }
+    var neg = false
+    if (cur == '+' || cur == '-') { neg = cur == '-'; pos += 1 }
+    var intPart = 0L
+    var nInt = 0
+    var overflow = false
+    while (cur >= '0' && cur <= '9') {
+      if (intPart > (Long.MaxValue - 9) / 10) overflow = true
+      else intPart = intPart * 10 + (cur - '0')
+      nInt += 1
+      pos += 1
+    }
+    if (cur == '.') {
+      pos += 1
+      // fraction as exact integer digits / 10^n: one correctly-rounded
+      // division, same result as Double.parseDouble for short decimals
+      var fracDigits = 0L
+      var nFrac = 0
+      while (cur >= '0' && cur <= '9') {
+        if (nFrac < 18) { fracDigits = fracDigits * 10 + (cur - '0'); nFrac += 1 }
+        pos += 1
+      }
+      var pow = 1.0
+      var k = 0
+      while (k < nFrac) { pow *= 10.0; k += 1 }
+      val v = intPart.toDouble + (if (nFrac > 0) fracDigits / pow else 0.0)
+      TReal(if (neg) -v else v)
+    } else if (nInt == 0) TJunk(at(start))
+    else if (overflow) TReal(if (neg) -9.223372036854776e18 else 9.223372036854776e18)
+    else TInt(if (neg) -intPart else intPart)
   }
 
   /** Next token. Keywords/operators come back as TKw. */

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+/** Catalyst plan audits (SURVEY.md §4.2 "rely on, verify in tests"):
+  * predicate pushdown reaches the parquet scan, small joins broadcast,
+  * the dedup ops stay free of cartesian products.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q2: filter is pushed to the parquet scan") {
+    val p = plan("q2_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"),
+      s"pushdown missing:\n${p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")}")
+  }
+
+  test("q1: shipdate predicate pushed + pruned read schema") {
+    val p = plan("q1_agg_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate,"), p)
+    val scan = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!scan.contains("l_orderkey") && !scan.contains("l_extendedprice"), scan)
+  }
+
+  test("q3: dimension join is a broadcast hash join") {
+    val p = plan("q3_join_agg")
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(20).mkString("\n"))
+  }
+
+  test("q4/q5: anti and semi joins, no cartesian") {
+    val p4 = plan("q4_anti_join")
+    assert(p4.contains("LeftAnti"), p4)
+    val p5 = plan("q5_semi_join")
+    assert(p5.contains("LeftSemi"), p5)
+    assert(!p4.contains("Cartesian") && !p5.contains("Cartesian"))
+  }
+
+  test("dedup ops never plan a cartesian product") {
+    Seq("d2_minhash_pairs", "d3_simhash_pairs").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+    }
+  }
+
+  test("s1: ANN brute force broadcasts the query side only") {
+    val p = plan("s1_ann_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+}
