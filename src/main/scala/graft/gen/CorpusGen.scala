@@ -77,12 +77,12 @@ object CorpusGen {
   def pdfSpec(docId: Long, lang: String, rng: Random): PdfBuilder.Spec = {
     val i = (docId / 3).toInt // dense index over PDF docs
     PdfBuilder.Spec(
-      xrefKind = i % 4,
-      filterKind = (i / 4) % 5,
-      showKind = (i / 20) % 3,
-      posKind = (i / 60) % 3,
-      fontKind = if (lang == "zh") 3 else i % 4, // zh needs Type0
-      nPages = if (i % 5 == 4) 3 else 1,
+      xrefKind = i % 5,
+      filterKind = (i / 5) % 7,
+      showKind = (i / 35) % 3,
+      posKind = (i / 105) % 3,
+      fontKind = if (lang == "zh") 3 else i % 6, // zh needs Type0
+      nPages = if (i % 7 == 4) 3 else 1,
       formXObject = rng.nextInt(4) == 0,
       inlineImage = rng.nextInt(4) == 0,
       markedContent = rng.nextInt(3) == 0,

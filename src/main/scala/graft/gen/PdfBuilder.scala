@@ -24,11 +24,11 @@ object PdfBuilder {
 
   /** Feature axes (FIXTURES.md §3.1). */
   final case class Spec(
-      xrefKind: Int, // 0 classic | 1 xref stream | 2 classic+Prev | 3 ObjStm
-      filterKind: Int, // 0 none | 1 flate | 2 ahx | 3 a85 | 4 a85+flate chain
+      xrefKind: Int, // 0 classic | 1 xref stream | 2 classic+Prev | 3 ObjStm | 4 hybrid /XRefStm
+      filterKind: Int, // 0 none | 1 flate | 2 ahx | 3 a85 | 4 a85+flate chain | 5 rle | 6 lzw
       showKind: Int, // 0 Tj | 1 TJ kerning | 2 '/" forms
       posKind: Int, // 0 Td | 1 Tm | 2 T*+TL
-      fontKind: Int, // 0 WinAnsi | 1 Differences | 2 ToUnicode bfchar | 3 Type0 Identity-H
+      fontKind: Int, // 0 WinAnsi | 1 Differences | 2 ToUnicode bfchar | 3 Type0 Identity-H | 4 MacRoman | 5 Type3
       nPages: Int, // 1 | 3 (intermediate /Pages node when 3)
       formXObject: Boolean,
       inlineImage: Boolean,
@@ -45,6 +45,11 @@ object PdfBuilder {
   /** Unicode → WinAnsi code (generator-side reverse of Glyphs.winAnsi). */
   private lazy val winAnsiRev: Map[Int, Int] =
     Glyphs.winAnsi.zipWithIndex.collect { case (cp, code) if cp >= 0 => cp -> code }
+      .groupBy(_._1).map { case (cp, xs) => cp -> xs.map(_._2).min }
+
+  /** Unicode → MacRoman code. */
+  private lazy val macRomanRev: Map[Int, Int] =
+    Glyphs.macRoman.zipWithIndex.collect { case (cp, code) if cp >= 0 => cp -> code }
       .groupBy(_._1).map { case (cp, xs) => cp -> xs.map(_._2).min }
 
   /** Differences remaps used by fontKind 1: code → (glyphName, unicode). */
@@ -111,6 +116,22 @@ object PdfBuilder {
           offsets(xn) = xoff
           wB(xrefStreamObj(xn, offsets.toMap, Map.empty))
           w(s"startxref\n$xoff\n%%EOF\n")
+        case 4 =>
+          // hybrid (§7.5.8.4): classic table covers the plain objects,
+          // its trailer's /XRefStm points at an xref stream covering
+          // the stream objects (+ itself); first-seen-wins on overlap
+          objs.foreach(o => writeObj(o.num, o.body))
+          val xn = alloc()
+          val xoff = out.size().toLong
+          offsets(xn) = xoff
+          val streamCovered = objs.filterNot(_.packable).map(_.num).toSet + xn
+          wB(xrefStreamObj(xn,
+            offsets.toMap.filter { case (k, _) => streamCovered.contains(k) }, Map.empty))
+          val classicOff = out.size().toLong
+          val classicNums = 0 +: objs.filter(_.packable).map(_.num).toSeq
+          writeClassicXref(out, offsets.toMap, classicNums,
+            s"trailer\n<< /Size ${maxNum + 1} /Root 1 0 R /XRefStm $xoff >>\n")
+          w(s"startxref\n$classicOff\n%%EOF\n")
         case 3 =>
           // pack packable objects into an ObjStm; streams stay top-level
           val packed = objs.filter(_.packable).toVector
@@ -283,6 +304,82 @@ object PdfBuilder {
     latin1(sb.toString)
   }
 
+  /** RunLengthDecode encoder (§7.4.5): repeat runs >= 3 as (257-n, b),
+    * literals in <=128-byte chunks, 128 EOD.
+    */
+  private def rleEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length + 16)
+    var i = 0
+    val n = data.length
+    while (i < n) {
+      var run = 1
+      while (i + run < n && run < 128 && data(i + run) == data(i)) run += 1
+      if (run >= 3) {
+        out.write(257 - run); out.write(data(i)); i += run
+      } else {
+        // literal chunk up to 128 bytes, stopping before a >=3 run
+        var j = i
+        while (j < n && j - i < 128 &&
+          !(j + 2 < n && data(j) == data(j + 1) && data(j) == data(j + 2))) j += 1
+        out.write(j - i - 1)
+        out.write(data, i, j - i)
+        i = j
+      }
+    }
+    out.write(128)
+    out.toByteArray
+  }
+
+  /** LZWDecode encoder (§7.4.4.2): 9→12-bit variable codes, clear=256,
+    * EOD=257, EarlyChange=1 (width bumps one code early, mirroring the
+    * decoder in graft.pdf.Filters).
+    */
+  private def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length)
+    var bitBuf = 0L
+    var bitCnt = 0
+    var width = 9
+    def emit(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code
+      bitCnt += width
+      while (bitCnt >= 8) {
+        out.write(((bitBuf >> (bitCnt - 8)) & 0xff).toInt)
+        bitCnt -= 8
+      }
+    }
+    val dict = scala.collection.mutable.HashMap.empty[(Int, Byte), Int]
+    var nextCode = 258
+    emit(256) // clear
+    if (data.nonEmpty) {
+      var w = data(0) & 0xff
+      var i = 1
+      while (i < data.length) {
+        val b = data(i)
+        dict.get((w, b)) match {
+          case Some(code) => w = code
+          case None =>
+            emit(w)
+            if (nextCode < 4096) {
+              dict((w, b)) = nextCode
+              nextCode += 1
+              // EarlyChange=1, mirrored to the decoder in Filters.lzw:
+              // the decoder adds its table entries one code LATER than
+              // the encoder (none on the first data code), so its size
+              // is nextCode-1; it widens when that reaches (1<<w)-1,
+              // i.e. when our nextCode reaches (1<<w)
+              if (nextCode >= (1 << width) && width < 12) width += 1
+            }
+            w = b & 0xff
+        }
+        i += 1
+      }
+      emit(w)
+    }
+    emit(257) // EOD
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+    out.toByteArray
+  }
+
   /** Encode stream data per filterKind; returns (filterClause, bytes). */
   private def encodeStream(data: Array[Byte], filterKind: Int): (String, Array[Byte]) =
     filterKind match {
@@ -291,6 +388,8 @@ object PdfBuilder {
       case 2 => ("/Filter /ASCIIHexDecode ", ahxEncode(data))
       case 3 => ("/Filter /ASCII85Decode ", a85Encode(data))
       case 4 => ("/Filter [/ASCII85Decode /FlateDecode] ", a85Encode(flate(data)))
+      case 5 => ("/Filter /RunLengthDecode ", rleEncode(data))
+      case 6 => ("/Filter /LZWDecode ", lzwEncode(data))
       case _ => ("", data)
     }
 
@@ -352,6 +451,8 @@ object PdfBuilder {
         }
       case 2 =>
         bfcharRemap.getOrElse(ch, winAnsiRev.getOrElse(ch.toInt, '?'.toInt))
+      case 4 => macRomanRev.getOrElse(ch.toInt, '?'.toInt)
+      case 5 => ch.toInt // Type3: ASCII via /Differences glyph names
       case _ => winAnsiRev.getOrElse(ch.toInt, '?'.toInt)
     }
 
@@ -453,6 +554,20 @@ object PdfBuilder {
       case 2 =>
         val tuNum = asm.alloc()
         s"<< /Type /Font /Subtype /TrueType /BaseFont /Synthetica /Encoding /WinAnsiEncoding /ToUnicode $tuNum 0 R >>"
+      case 4 =>
+        "<< /Type /Font /Subtype /TrueType /BaseFont /Times-Roman /Encoding /MacRomanEncoding >>"
+      case 5 =>
+        // Type3 with /CharProcs + /Differences over the ASCII range; the
+        // glyph procedures are inert (text extraction never renders them)
+        val procNum = asm.alloc()
+        val names = "32 /space 97" + (97 to 122).map(c => s" /${c.toChar}").mkString("") +
+          " 46 /period 44 /comma"
+        val widths = (32 to 122).map(_ => 500).mkString(" ")
+        s"<< /Type /Font /Subtype /Type3 /FontBBox [0 0 1000 1000] " +
+          s"/FontMatrix [0.001 0 0 0.001 0 0] " +
+          s"/CharProcs << ${("space" +: ('a' to 'z').map(_.toString) :+ "period" :+ "comma").map(n => s"/$n $procNum 0 R").mkString(" ")} >> " +
+          s"/Encoding << /Type /Encoding /Differences [$names] >> " +
+          s"/FirstChar 32 /LastChar 122 /Widths [$widths] >>"
       case 3 =>
         val descNum = asm.alloc()
         val tuNum = asm.alloc()
@@ -557,6 +672,11 @@ object PdfBuilder {
       val defl = flate(latin1(body))
       asm.addAt(tuNum, s"<< /Filter /FlateDecode /Length ${defl.length} >>\nstream\n" +
         new String(defl, "ISO-8859-1") + "\nendstream")
+    } else if (spec.fontKind == 5) {
+      // inert Type3 glyph procedure shared by every /CharProcs entry
+      val procNum = fontNum + 1
+      val proc = "500 0 0 0 1000 1000 d1"
+      asm.addAt(procNum, s"<< /Length ${proc.length} >>\nstream\n$proc\nendstream")
     }
 
     val bytes = asm.finish(spec.xrefKind, spec.junkAfterEof, rng)

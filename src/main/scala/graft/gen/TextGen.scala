@@ -48,6 +48,8 @@ object TextGen {
       case 1 => base ++ diffWords
       case 2 => base ++ bfcharWords
       case 3 => base ++ langWords.getOrElse(lang, Vector.empty) ++ cidWords
+      case 4 => base ++ (if (lang != "zh") langWords.getOrElse(lang, Vector.empty) else Vector.empty) // MacRoman
+      case 5 => base // Type3: plain ASCII via /Differences names
       case _ => base
     }
   }

@@ -26,8 +26,8 @@ class RoundtripSpec extends AnyFunSuite {
   }
 
   test("PDF docs roundtrip byte-identically across the feature matrix") {
-    // docIds 0,3,6,... are PDFs; 400 PDFs covers all axis combinations
-    (0 until 1200 by 3).foreach { id =>
+    // docIds 0,3,6,... are PDFs; 700 PDFs covers all axis combinations
+    (0 until 2100 by 3).foreach { id =>
       val g = CorpusGen.doc(id.toLong)
       assert(g.kind == "pdf")
       val r = PdfExtractor.extract(g.payload, inflater)
@@ -37,7 +37,7 @@ class RoundtripSpec extends AnyFunSuite {
   }
 
   test("HTML docs roundtrip byte-identically across the feature matrix") {
-    val ids = (0 until 1200).filter(_ % 3 != 0)
+    val ids = (0 until 2100).filter(_ % 3 != 0)
     ids.foreach { id =>
       val g = CorpusGen.doc(id.toLong)
       assert(g.kind == "html")
