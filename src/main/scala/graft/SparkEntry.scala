@@ -101,7 +101,8 @@ object SparkEntry {
       extractSmall(s).groupBy("bucket", "kind")
         .agg(count(lit(1)).as("nDocs"),
           sum(when(col("error").isNotNull, 1L).otherwise(0L)).as("nErr"),
-          sum("charCount").as("charsOut"), sum("bytesIn").as("bytesIn"))
+          sum("charCount").as("charsOut"), sum("bytesIn").as("bytesIn"),
+          approx_count_distinct(col("url")).as("approxUrls")) // SURVEY §2.6 sanity
         .orderBy("bucket", "kind")),
     "x5_bucket_salt" -> ((s, _) => {
       val (cp, _) = CorpusTables.ensure(s, DataDir, CorpusTables.SfSmall)

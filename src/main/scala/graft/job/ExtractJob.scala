@@ -192,7 +192,16 @@ object ExtractJob {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
-    val cores = spark.sparkContext.defaultParallelism
+    // defaultParallelism races executor registration on cluster masters
+    // (returns 2 until workers connect); parse the master string instead
+    val master = spark.sparkContext.master
+    val lc = "local-cluster\\[(\\d+),(\\d+),\\d+\\]".r
+    val l = "local\\[(\\d+)\\]".r
+    val cores = master match {
+      case lc(n, c) => n.toInt * c.toInt
+      case l(n) => n.toInt
+      case _ => math.max(spark.sparkContext.defaultParallelism, 8)
+    }
     val cfg = Config(runId, in, out, lineagePath, Partitioning.defaultSpec(cores),
       waves = args.lift(4).map(_.toInt).getOrElse(1))
     val report = run(spark, cfg)

@@ -243,47 +243,78 @@ object Filters {
   }
 
   // --- LZWDecode (§7.4.4.2): 9→12-bit codes, clear=256, EOD=257 --------
+  // Prefix-chain dictionary (no per-entry byte arrays): each code is
+  // (prefixCode, suffixByte, length); entries materialize by walking the
+  // chain backwards into a scratch buffer. Allocation-free steady state.
 
   def lzw(data: Array[Byte], earlyChange: Int): Array[Byte] = {
-    val out = new ArrayBuffer[Byte](data.length * 3)
-    var dict = new ArrayBuffer[Array[Byte]](4096)
-    def resetDict(): Unit = {
-      dict = new ArrayBuffer[Array[Byte]](4096)
-      var i = 0
-      while (i < 256) { dict += Array(i.toByte); i += 1 }
-      dict += null // 256 clear
-      dict += null // 257 EOD
+    val out = new java.io.ByteArrayOutputStream(data.length * 3)
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val entryLen = new Array[Int](4096)
+    var scratch = new Array[Byte](256)
+    var i = 0
+    while (i < 256) {
+      prefix(i) = -1; suffix(i) = i.toByte; entryLen(i) = 1; i += 1
     }
-    resetDict()
+    var nextCode = 258
     var codeLen = 9
-    var prev: Array[Byte] = null
+    var prevCode = -1
+
+    /** Materialize `code` into scratch (right-aligned walk); returns len. */
+    def emit(code: Int): Int = {
+      val n = entryLen(code)
+      if (scratch.length < n) scratch = new Array[Byte](math.max(n, scratch.length * 2))
+      var c = code
+      var p = n - 1
+      while (p >= 0) { scratch(p) = suffix(c); c = prefix(c); p -= 1 }
+      out.write(scratch, 0, n)
+      n
+    }
+
     var bitBuf = 0L
     var bitCnt = 0
-    var i = 0
+    var pos = 0
     var done = false
-    while (!done && (i < data.length || bitCnt >= codeLen)) {
-      while (bitCnt < codeLen && i < data.length) {
-        bitBuf = (bitBuf << 8) | (data(i) & 0xff); bitCnt += 8; i += 1
+    while (!done && (pos < data.length || bitCnt >= codeLen)) {
+      while (bitCnt < codeLen && pos < data.length) {
+        bitBuf = (bitBuf << 8) | (data(pos) & 0xff); bitCnt += 8; pos += 1
       }
       if (bitCnt < codeLen) done = true
       else {
         val code = ((bitBuf >> (bitCnt - codeLen)) & ((1 << codeLen) - 1)).toInt
         bitCnt -= codeLen
-        if (code == 256) { resetDict(); codeLen = 9; prev = null }
+        if (code == 256) { nextCode = 258; codeLen = 9; prevCode = -1 }
         else if (code == 257) done = true
         else {
-          val entry: Array[Byte] =
-            if (code < dict.length && dict(code) != null) dict(code)
-            else if (prev != null) prev :+ prev(0)
-            else Array.empty[Byte]
-          out ++= entry
-          if (prev != null && dict.length < 4096) dict += (prev :+ entry(0))
-          prev = entry
-          val limit = (1 << codeLen) - earlyChange
-          if (dict.length >= limit && codeLen < 12) codeLen += 1
+          if (prevCode < 0) {
+            if (code < 256) emit(code)
+            prevCode = code
+          } else {
+            val known = code < nextCode && (code < 256 || code >= 258)
+            // register the new entry BEFORE emitting (KwKwK case needs it)
+            if (nextCode < 4096) {
+              val firstByte: Byte =
+                if (known) firstOf(code, prefix, suffix)
+                else firstOf(prevCode, prefix, suffix)
+              prefix(nextCode) = prevCode
+              suffix(nextCode) = firstByte
+              entryLen(nextCode) = entryLen(prevCode) + 1
+              nextCode += 1
+            }
+            emit(if (known) code else nextCode - 1)
+            prevCode = code
+            if (nextCode >= (1 << codeLen) - earlyChange && codeLen < 12) codeLen += 1
+          }
         }
       }
     }
-    out.toArray
+    out.toByteArray
+  }
+
+  @inline private def firstOf(code: Int, prefix: Array[Int], suffix: Array[Byte]): Byte = {
+    var c = code
+    while (prefix(c) >= 0) c = prefix(c)
+    suffix(c)
   }
 }

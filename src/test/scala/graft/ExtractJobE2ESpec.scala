@@ -97,6 +97,33 @@ class ExtractJobE2ESpec extends AnyFunSuite {
     assert(!scanLine.contains("warc_ts") && !scanLine.contains("lang"), scanLine)
   }
 
+  test("corrupt payloads become error rows; the job never dies") {
+    import spark.implicits._
+    val (cp, _) = paths
+    val corpus = spark.read.parquet(cp)
+    // corrupt every 5th payload: truncate + flip a byte (keeps %PDF- magic)
+    val corrupted = corpus.map { r =>
+      val url = r.getAs[String]("url")
+      val html = r.getAs[Array[Byte]]("html")
+      val id = url.substring(url.lastIndexOf('/') + 1).toLong
+      val payload =
+        if (id % 5 == 0 && html.length > 60) {
+          val cut = java.util.Arrays.copyOf(html, html.length / 2)
+          cut(40) = 0x7F.toByte
+          cut
+        } else html
+      (url, payload)
+    }.toDF("url", "html")
+    val out = ExtractJob.plan(spark, corrupted, null, Partitioning.defaultSpec(4)).toDF()
+    val total = out.count()
+    assert(total == 300, "every row must produce an output row")
+    val errs = out.filter(col("kind") === "error")
+    assert(errs.count() > 0, "corrupted docs must surface as error rows")
+    assert(errs.filter(col("error").isNull).count() == 0)
+    // untouched rows still extract
+    assert(out.filter(col("kind") =!= "error").count() > 200)
+  }
+
   test("metamorphic: extraction independent of bucket count and input order") {
     import spark.implicits._
     val (cp, _) = paths
