@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.gen.CorpusGen
+import graft.pdf.PdfExtractor
+import graft.html.HtmlExtractor
+
+/** Deterministic corruption sweep (SURVEY.md §7 hazard 6): at 100 TB a
+  * single wedged executor stalls the job, so every mutation must finish
+  * quickly with either output or a typed error — never a hang, an
+  * Error, or an unbounded loop.
+  */
+class FuzzSpec extends AnyFunSuite {
+
+  test("mutated payloads always terminate fast with output or typed error") {
+    val inflater = new java.util.zip.Inflater()
+    val rng = new scala.util.Random(20260816L)
+    var nErr = 0
+    var nOk = 0
+    (0 until 60).foreach { base =>
+      val g = CorpusGen.doc(base.toLong)
+      (0 until 25).foreach { _ =>
+        val m = mutate(g.payload, rng)
+        val t0 = System.nanoTime()
+        try {
+          if (PdfExtractor.isPdf(m)) PdfExtractor.extract(m, inflater)
+          else HtmlExtractor.extract(m)
+          nOk += 1
+        } catch {
+          case _: Exception => nErr += 1 // typed failure is fine
+          case e: StackOverflowError => fail(s"stack overflow on doc $base")
+        }
+        val ms = (System.nanoTime() - t0) / 1000000
+        assert(ms < 5000, s"doc $base mutation took ${ms}ms — possible hang path")
+      }
+    }
+    info(s"fuzz: $nOk extracted, $nErr typed errors, 0 hangs/crashes")
+    assert(nOk + nErr == 1500)
+  }
+
+  private def mutate(bytes: Array[Byte], rng: scala.util.Random): Array[Byte] = {
+    val mode = rng.nextInt(4)
+    mode match {
+      case 0 => // truncate
+        java.util.Arrays.copyOf(bytes, 1 + rng.nextInt(bytes.length))
+      case 1 => // flip a handful of bytes
+        val m = bytes.clone()
+        (0 until 1 + rng.nextInt(8)).foreach { _ =>
+          m(rng.nextInt(m.length)) = rng.nextInt(256).toByte
+        }
+        m
+      case 2 => // zero a window (kills offsets/keywords)
+        val m = bytes.clone()
+        val start = rng.nextInt(m.length)
+        val len = math.min(m.length - start, 1 + rng.nextInt(64))
+        java.util.Arrays.fill(m, start, start + len, 0.toByte)
+        m
+      case _ => // duplicate a slice into another position (desync traps)
+        val m = bytes.clone()
+        val from = rng.nextInt(m.length)
+        val to = rng.nextInt(m.length)
+        val len = math.min(math.min(m.length - from, m.length - to), 1 + rng.nextInt(32))
+        System.arraycopy(bytes, from, m, to, len)
+        m
+    }
+  }
+}
