@@ -155,6 +155,12 @@ object SparkEntry {
       docs(s, dir).rollup("lang", "source")
         .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
         .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)),
+    "q13_cube" -> ((s, dir) =>
+      events(s, dir).withColumn("yr", year(col("ts")))
+        .cube("event_type", "yr")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        .orderBy(col("event_type").asc_nulls_first, col("yr").asc_nulls_first)),
     "q9_exact_dedup_stats" -> ((s, dir) =>
       docs(s, dir).agg(count(lit(1)).as("n_docs"),
         countDistinct(md5(col("text"))).as("n_distinct"))),
@@ -187,6 +193,12 @@ object SparkEntry {
       val dim = emb.select(size(col("embedding"))).first().getInt(0)
       val q = emb.orderBy("vec_id").limit(5)
       Similarity.lshTopK(emb, q, 10, dim).select("query_id", "vec_id", "rank")
+    }),
+    "s4_ann_ivf" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val dim = emb.select(size(col("embedding"))).first().getInt(0)
+      val q = emb.orderBy(col("vec_id").desc).limit(5)
+      Similarity.ivfTopK(emb, q, 10, dim).select("query_id", "vec_id", "rank")
     }),
     "s3_cosine_neardups" -> ((s, dir) => {
       val emb = embWithDups(s, dir)
@@ -250,6 +262,11 @@ object SparkEntry {
         ("SELECT lang, source, COUNT(*) AS n, SUM(n_chars) AS chars FROM documents " +
           "GROUP BY ROLLUP(lang, source) " +
           "ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST"),
+      "q13_cube" ->
+        ("SELECT event_type, EXTRACT(YEAR FROM ts) AS yr, COUNT(*) AS n, " +
+          "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents " +
+          "FROM events GROUP BY CUBE(event_type, EXTRACT(YEAR FROM ts)) " +
+          "ORDER BY event_type ASC NULLS FIRST, yr ASC NULLS FIRST"),
       "q9_exact_dedup_stats" ->
         "SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_distinct FROM documents",
       "q10_token_stats" ->

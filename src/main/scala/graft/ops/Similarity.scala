@@ -70,6 +70,63 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF (inverted-file) ANN: a deterministic coarse quantizer — k
+    * seeded sample vectors as centroids — partitions the corpus into
+    * cells; queries probe their nProbe nearest cells only. The
+    * centroid set is tiny and driver-held (broadcast as literals);
+    * the corpus is scanned once to assign cells and never shuffled by
+    * the search itself — the 100 TB shape (cell assignment would be a
+    * precomputed column/partition key at deploy scale).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    // deterministic centroids: first nCells vectors by vec_id (a seeded
+    // k-means refinement would go here; selection is enough for the
+    // cell-partitioning shape and keeps the oracle deterministic)
+    val centroids: Array[(Int, Array[Float])] = corpus
+      .orderBy("vec_id").limit(nCells)
+      .select("embedding").collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](0).toArray) }
+
+    def cellDist(emb: Column, c: Array[Float]): Column = {
+      val cl = array(c.map(v => lit(v.toDouble)): _*)
+      // squared L2 via dot products: |x|^2 - 2<x,c> + |c|^2
+      val c2 = c.map(v => v.toDouble * v.toDouble).sum
+      dot(emb, emb) - lit(2.0) * dot(emb, cl) + lit(c2)
+    }
+
+    /** index of the nearest centroid. */
+    def cellOf(emb: Column): Column = {
+      val dists = array(centroids.map { case (_, c) => cellDist(emb, c) }: _*)
+      array_position(dists, array_min(dists)).cast("int") - 1
+    }
+
+    /** the nProbe nearest cell ids for a query vector. */
+    def probeCells(emb: Column): Column = {
+      val pairs = centroids.map { case (i, c) =>
+        struct(cellDist(emb, c).as("d"), lit(i).as("cell"))
+      }
+      slice(transform(array_sort(array(pairs: _*)), p => p.getField("cell")), 1, nProbe)
+    }
+
+    val cb = corpus.withColumn("cell", cellOf(col("embedding")))
+    val qb = queries
+      .withColumnRenamed("vec_id", "query_id")
+      .withColumnRenamed("embedding", "q_emb")
+      .withColumn("cell", explode(probeCells(col("q_emb"))))
+    val joined = cb.join(broadcast(qb), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs over LSH buckets. */
   def cosineNearDups(corpus: DataFrame, dim: Int, minCos: Double = 0.95,
                      planes: Int = 12): DataFrame = {
