@@ -17,7 +17,8 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      // driver heap CANNOT be set here (the JVM is already running);
+      // build.sbt forks the run JVM with -Xmx$SPARK_DRIVER_MEM instead
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -259,7 +259,8 @@ object SparkEntry {
       "q7_topk" ->
         "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 10",
       "q8_rollup" ->
-        ("SELECT lang, source, COUNT(*) AS n, SUM(n_chars) AS chars FROM documents " +
+        // CAST: DuckDB SUM(int) is HUGEINT; Spark sum is BIGINT
+        ("SELECT lang, source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars FROM documents " +
           "GROUP BY ROLLUP(lang, source) " +
           "ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST"),
       "q13_cube" ->
@@ -270,7 +271,7 @@ object SparkEntry {
       "q9_exact_dedup_stats" ->
         "SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_distinct FROM documents",
       "q10_token_stats" ->
-        (s"SELECT lang, COUNT(*) AS n_docs, SUM($toks) AS n_tokens " +
+        (s"SELECT lang, COUNT(*) AS n_docs, CAST(SUM($toks) AS BIGINT) AS n_tokens " +
           "FROM documents GROUP BY lang ORDER BY lang"),
       "q11_quality" ->
         (s"SELECT doc_id, CAST($toks AS BIGINT) AS n_tokens, " +

@@ -49,7 +49,12 @@ object ExtractJob {
             r.text.length, bytes.length.toLong, ms(t0), None)
         }
       } catch {
-        case e: Throwable if !e.isInstanceOf[InterruptedException] =>
+        // NonFatal + StackOverflowError (fuzz-hardening: deep recursion on
+        // hostile nesting) become per-row error records; VirtualMachineError
+        // (OOM etc.) propagates so Spark fails + retries the task instead of
+        // continuing on a possibly corrupted heap.
+        case e: Throwable
+            if scala.util.control.NonFatal(e) || e.isInstanceOf[StackOverflowError] =>
           ExtractedRow(row.bucket, row.url, "error", "", Nil, 0, 0,
             bytes.length.toLong, ms(t0), Some(msg(e)))
       }
@@ -148,37 +153,39 @@ object ExtractJob {
     (0 until cfg.waves).foreach { w =>
       val waveInput = input.filter(
         pmod(Partitioning.bucketCol(cfg.spec, col("url"), col("html")), lit(cfg.waves)) === w)
+      // Persist the wave across the two actions (write, then A1 metrics
+      // agg) so extraction runs ONCE and the metrics never re-read the
+      // output table — at 100 TB a read-back would be a second full
+      // decode pass over everything just written (VERDICT r1 §wrong-3).
+      // MEMORY_AND_DISK: spilled blocks stay local to the executor that
+      // produced them; strictly cheaper than a parquet round-trip.
       val extracted = plan(spark, waveInput, prevDone, cfg.spec, failBucket)
-      Tables.writeBucketed(extracted.toDF(), cfg.outputPath)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        Tables.writeBucketed(extracted.toDF(), cfg.outputPath)
 
-      // A1 metrics from the just-written wave (column-pruned read-back)
-      val prev = prevDone.as[Int].collect().toSet
-      val now = System.currentTimeMillis()
-      val stats =
-        try {
-          Tables.read(spark, cfg.outputPath)
-            .filter(pmod(col("bucket"), lit(cfg.waves)) === w)
-            .groupBy("bucket")
-            .agg(count(lit(1)).as("nDocs"),
-              sum(when(col("error").isNull, 1L).otherwise(0L)).as("nOk"),
-              sum(when(col("error").isNotNull, 1L).otherwise(0L)).as("nErr"),
-              sum(col("bytesIn")).as("bytesIn"),
-              sum(col("charCount")).as("charsOut"))
-            .collect()
-            .filter(r => !prev.contains(r.getInt(0)))
-        } catch {
-          // an all-empty wave leaves no parquet footers to read back
-          case _: org.apache.spark.sql.AnalysisException => Array.empty[org.apache.spark.sql.Row]
-        }
-      val rows = stats.map { r =>
-        PartitionLineage(cfg.runId, r.getInt(0), "done", r.getLong(1), r.getLong(2),
-          r.getLong(3), r.getLong(4), r.getLong(5), now, System.currentTimeMillis(), attempt)
-      }.toSeq
-      if (rows.nonEmpty) Tables.append(spark.createDataset(rows).toDF(), cfg.lineagePath)
-      allBuckets ++= rows.map(_.bucket)
-      totDocs += rows.map(_.nDocs).sum
-      totOk += rows.map(_.nOk).sum
-      totErr += rows.map(_.nErr).sum
+        // A1 metrics from the in-plan wave dataset (cached blocks)
+        val prev = prevDone.as[Int].collect().toSet
+        val now = System.currentTimeMillis()
+        val stats = extracted.toDF()
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("nDocs"),
+            sum(when(col("error").isNull, 1L).otherwise(0L)).as("nOk"),
+            sum(when(col("error").isNotNull, 1L).otherwise(0L)).as("nErr"),
+            sum(col("bytesIn")).as("bytesIn"),
+            sum(col("charCount")).as("charsOut"))
+          .collect()
+          .filter(r => !prev.contains(r.getInt(0)))
+        val rows = stats.map { r =>
+          PartitionLineage(cfg.runId, r.getInt(0), "done", r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getLong(5), now, System.currentTimeMillis(), attempt)
+        }.toSeq
+        if (rows.nonEmpty) Tables.append(spark.createDataset(rows).toDF(), cfg.lineagePath)
+        allBuckets ++= rows.map(_.bucket)
+        totDocs += rows.map(_.nDocs).sum
+        totOk += rows.map(_.nOk).sum
+        totErr += rows.map(_.nErr).sum
+      } finally extracted.unpersist(blocking = false)
     }
     RunReport(attempt, allBuckets, totDocs, totOk, totErr)
   }

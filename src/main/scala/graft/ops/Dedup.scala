@@ -40,35 +40,36 @@ object Dedup {
     * self-join on (band, band_hash) → candidate pairs, then score by
     * signature agreement (estimated Jaccard). Join key is the band
     * bucket — co-partitioned, no cross join anywhere.
+    *
+    * Each bucket row carries the full signature array (~256 B at H=32),
+    * so candidate pairs get both signatures directly from the bucket
+    * join — one pass over the shingle explosion, no persist, no
+    * join-back to the signature table.
     */
   def minhashPairs(docs: DataFrame, k: Int = 5, numHashes: Int = 32,
                    bands: Int = 8, minEstJaccard: Double = 0.5): DataFrame = {
-    // signatures feed three plan branches (bucket explode + both pair
-    // sides); persist so the shingle explosion runs once. At cluster
-    // scale this stage would be checkpointed to a table instead.
-    val sigs = minhash(docs, k, numHashes).persist()
+    val sigs = minhash(docs, k, numHashes)
+    val sigArr = array((0 until numHashes).map(h => col(s"mh_$h")): _*)
     val rows = numHashes / bands
     val bandCols = (0 until bands).map { b =>
       val cols = (0 until rows).map(r => col(s"mh_${b * rows + r}"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("sig"))
     }
     val buckets = sigs
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
-    val cand = buckets.as("a")
+      .select(col("doc_id"), sigArr.as("sig_arr"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("sig_arr"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    // fraction of matching minhashes ≈ Jaccard (Broder '97)
+    val est = aggregate(
+      zip_with(col("a.sig_arr"), col("b.sig_arr"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / numHashes
+    buckets.as("a")
       .join(buckets.as("b"), Seq("band", "sig"))
       .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    // estimate similarity: fraction of matching minhashes
-    val sa = sigs.toDF(sigs.columns.map(c => if (c == "doc_id") "doc_a" else c + "_a"): _*)
-    val sb = sigs.toDF(sigs.columns.map(c => if (c == "doc_id") "doc_b" else c + "_b"): _*)
-    val matches = (0 until numHashes)
-      .map(h => when(col(s"mh_${h}_a") === col(s"mh_${h}_b"), 1).otherwise(0))
-      .reduce(_ + _)
-    cand.join(sa, "doc_a").join(sb, "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (matches.cast("double") / numHashes).as("est_jaccard"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        est.as("est_jaccard"))
+      // pairs sharing >1 band dedup here; est is identical per pair
+      .groupBy("doc_a", "doc_b").agg(first(col("est_jaccard")).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -120,17 +121,21 @@ object Dedup {
     * intersection/union per pair. Shuffles on (pair, gram) — scalable.
     */
   def ngramJaccard(docs: DataFrame, cand: DataFrame, n: Int = 3): DataFrame = {
-    val c = cand.persist() // reused for both sides of the pair
+    // melt each pair into its two sides first, so candidates are scanned
+    // once and joined to the gram table once (no persist, one shuffle of
+    // the big gram side instead of two)
+    val sides = cand.select(col("doc_a"), col("doc_b"),
+      explode(array(
+        struct(lit(1).as("in_a"), lit(0).as("in_b"), col("doc_a").as("doc_id")),
+        struct(lit(0).as("in_a"), lit(1).as("in_b"), col("doc_b").as("doc_id")))).as("s"))
+      .select(col("doc_a"), col("doc_b"),
+        col("s.in_a").as("in_a"), col("s.in_b").as("in_b"), col("s.doc_id").as("doc_id"))
     val grams = docs.select(col("doc_id"), ngramCol(col("text"), n).as("grams"))
-    val ga = c.join(grams.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-      .select(col("doc_a"), col("doc_b"), explode(col("grams")).as("gram"),
-        lit(1).as("in_a"), lit(0).as("in_b"))
-    val gb = c.join(grams.withColumnRenamed("doc_id", "doc_b"), "doc_b")
-      .select(col("doc_a"), col("doc_b"), explode(col("grams")).as("gram"),
-        lit(0).as("in_a"), lit(1).as("in_b"))
     // single aggregation chain: no pair-side self-join; shuffles on
     // (pair, gram) then (pair) — both partial-aggregated map-side
-    ga.unionByName(gb)
+    sides.join(grams, "doc_id")
+      .select(col("doc_a"), col("doc_b"), explode(col("grams")).as("gram"),
+        col("in_a"), col("in_b"))
       .groupBy("doc_a", "doc_b", "gram")
       .agg(max("in_a").as("a"), max("in_b").as("b"))
       .groupBy("doc_a", "doc_b")

@@ -20,7 +20,7 @@ final class PdfDocument(val bytes: Array[Byte],
     val viaStart =
       try {
         XrefWalk.findStartXref(bytes).map { off =>
-          val r = XrefWalk.walk(bytes, off)
+          val r = XrefWalk.walk(bytes, off, inflater)
           if (r.entries.isEmpty) None else Some((r.entries, r.trailer))
         }.flatten
       } catch { case _: Exception => None }
@@ -93,6 +93,7 @@ final class PdfDocument(val bytes: Array[Byte],
         case PNull => loaded.objByNum(num)
         case o => o
       }
+    case Some(Free) => PNull // deleted by an incremental update (§7.5.4)
     case _ => PNull
   }
 

@@ -15,10 +15,20 @@ object Filters {
 
   /** Decode a stream's raw bytes through its /Filter chain.
     * `resolve` maps indirect refs in /DecodeParms to direct objects.
-    * `inflater` is reused across calls (per-partition arena, SURVEY §4.3).
+    * `inflater` is reused across calls (per-partition arena, SURVEY §4.3);
+    * when the caller passes none, the locally-owned Inflater is end()ed
+    * so its native zlib handle is reclaimed immediately, not at GC time.
     */
   def decode(dict: PDict, raw: Array[Byte], resolve: PdfObj => PdfObj,
-             inflater: Inflater = new Inflater()): Array[Byte] = {
+             inflater: Inflater = null): Array[Byte] = {
+    if (inflater == null) {
+      val own = new Inflater()
+      try decodeWith(dict, raw, resolve, own) finally own.end()
+    } else decodeWith(dict, raw, resolve, inflater)
+  }
+
+  private def decodeWith(dict: PDict, raw: Array[Byte], resolve: PdfObj => PdfObj,
+                         inflater: Inflater): Array[Byte] = {
     val filters: Vector[String] = resolve(dict.get("Filter").getOrElse(PNull)) match {
       case PName(n) => Vector(n)
       case PArray(items) => items.map(resolve).collect { case PName(n) => n }

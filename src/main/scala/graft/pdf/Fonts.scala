@@ -74,9 +74,16 @@ final case class FontInfo(
     if (code >= 0 && code < 256) widthCache256(code)
     else widths.getOrElse(code, defaultWidth)
 
-  /** Split a show-string's bytes into codes. */
+  /** Split a show-string's bytes into codes.
+    *
+    * Simple (non-Type0) fonts ALWAYS consume exactly 1 byte per code
+    * (§9.6.6: byte codes); real-world simple fonts often ship template
+    * ToUnicode CMaps declaring a 2-byte codespace (<0000> <FFFF>), which
+    * must not change the code length. Codespace-driven splitting applies
+    * only to Type0 composite fonts (§9.7.6.2).
+    */
   def codes(bytes: Array[Byte]): Array[Int] = {
-    if (bytesPerCode == 1 && toUnicode.codeSpace.isEmpty) {
+    if (!isType0) {
       val out = new Array[Int](bytes.length)
       var i = 0
       while (i < bytes.length) { out(i) = bytes(i) & 0xff; i += 1 }

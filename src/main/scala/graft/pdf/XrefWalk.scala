@@ -17,6 +17,11 @@ object XrefWalk {
   final case class InFile(offset: Long) extends Entry
   /** Object is packed inside object stream `stmNum` at index `idx`. */
   final case class InObjStm(stmNum: Int, idx: Int) extends Entry
+  /** Object deleted (type 'f' / type 0). Recorded — not skipped — so a
+    * newer free entry shadows an older in-use one during the
+    * first-seen-wins merge (§7.5.4: incremental deletes must win).
+    */
+  case object Free extends Entry
 
   final case class XrefResult(entries: Map[Int, Entry], trailer: PDict)
 
@@ -40,7 +45,8 @@ object XrefWalk {
   /** Walk the full xref chain from `start`. Returns merged entries +
     * merged trailer (first-seen keys win — the newest update's values).
     */
-  def walk(buf: Array[Byte], start: Long): XrefResult = {
+  def walk(buf: Array[Byte], start: Long,
+           inflater: java.util.zip.Inflater = null): XrefResult = {
     val entries = mutable.Map.empty[Int, Entry]
     var trailerAcc = Map.empty[String, PdfObj]
     val seen = mutable.Set.empty[Long]
@@ -50,7 +56,7 @@ object XrefWalk {
       queue = queue.tail
       if (!seen.contains(off) && off >= 0 && off < buf.length) {
         seen += off
-        val (section, trailer) = parseSection(buf, off.toInt)
+        val (section, trailer) = parseSection(buf, off.toInt, inflater)
         section.foreach { case (num, e) =>
           if (!entries.contains(num)) entries(num) = e
         }
@@ -66,7 +72,8 @@ object XrefWalk {
   }
 
   /** Parse one xref section (classic table or xref stream) at `off`. */
-  private def parseSection(buf: Array[Byte], off: Int): (Seq[(Int, Entry)], PDict) = {
+  private def parseSection(buf: Array[Byte], off: Int,
+                           inflater: java.util.zip.Inflater): (Seq[(Int, Entry)], PDict) = {
     val lx = new Lexer(buf, off, buf.length)
     lx.skipWs()
     val save = lx.pos
@@ -75,7 +82,7 @@ object XrefWalk {
       case Tok.TInt(_) =>
         // `n g obj` header of an xref stream
         lx.pos = save
-        parseXrefStream(buf, off)
+        parseXrefStream(buf, off, inflater)
       case other =>
         throw new PdfStructureException(s"no xref at offset $off (got $other)")
     }
@@ -101,6 +108,7 @@ object XrefWalk {
                 (offTok, genTok, kindTok) match {
                   case (Tok.TInt(o), Tok.TInt(_), Tok.TKw(k)) =>
                     if (k == "n") out += ((startNum + i).toInt -> InFile(o))
+                    else if (k == "f") out += ((startNum + i).toInt -> Free)
                   case _ => // malformed entry: skip
                 }
                 i += 1
@@ -123,7 +131,8 @@ object XrefWalk {
   /** Xref stream (§7.5.8): /W field widths, /Index subsections, entry
     * types 0=free, 1=InFile(offset), 2=InObjStm(stm, idx).
     */
-  private def parseXrefStream(buf: Array[Byte], off: Int): (Seq[(Int, Entry)], PDict) = {
+  private def parseXrefStream(buf: Array[Byte], off: Int,
+                              inflater: java.util.zip.Inflater): (Seq[(Int, Entry)], PDict) = {
     val lx = new Lexer(buf, off, buf.length)
     // header `n g obj`
     (lx.next(), lx.next(), lx.next()) match {
@@ -133,7 +142,7 @@ object XrefWalk {
     val p = new ObjParser(lx, null) // /Length of xref streams must be direct
     p.parseObj() match {
       case PStream(dict, raw) =>
-        val data = Filters.decode(dict, raw, identity)
+        val data = Filters.decode(dict, raw, identity, inflater)
         val w: Array[Int] = dict.get("W") match {
           case Some(PArray(items)) => items.flatMap(int).map(_.toInt).toArray
           case _ => throw new PdfStructureException("xref stream missing /W")
@@ -166,7 +175,7 @@ object XrefWalk {
             tpe match {
               case 1 => out += ((first + i) -> InFile(fields(1)))
               case 2 => out += ((first + i) -> InObjStm(fields(1).toInt, fields(2).toInt))
-              case _ => () // 0 = free
+              case _ => out += ((first + i) -> Free) // 0 = deleted; must shadow older in-use
             }
             i += 1
           }

@@ -62,6 +62,26 @@ class FontsSpec extends AnyFunSuite {
     assert(cmap.codeLen(Array(0x81.toByte, 0x42.toByte), 0) == 2)
   }
 
+  test("simple font always consumes 1 byte per code despite a 2-byte template codespace") {
+    // real-world simple fonts often ship template ToUnicode CMaps with
+    // <0000> <FFFF> — must NOT fuse byte pairs for non-Type0 fonts
+    val cmap = ToUnicodeCMap.parse(
+      """begincmap
+        |1 begincodespacerange <0000> <FFFF> endcodespacerange
+        |2 beginbfchar
+        |<48> <0048>
+        |<69> <0069>
+        |endbfchar
+        |endcmap""".stripMargin.getBytes("ISO-8859-1"))
+    val font = FontInfo("F1", "Type1", 1, cmap, Glyphs.winAnsi, Map.empty,
+      Map.empty, 500, isType0 = false, identityCid = false)
+    assert(font.codes(Array(0x48.toByte, 0x69.toByte)).toSeq == Seq(0x48, 0x69))
+    // Type0 with the same codespace DOES split 2-byte codes
+    val t0 = FontInfo("F2", "Type0", 2, cmap, null, Map.empty,
+      Map.empty, 1000, isType0 = true, identityCid = true)
+    assert(t0.codes(Array(0x48.toByte, 0x69.toByte)).toSeq == Seq(0x4869))
+  }
+
   test("AGL: names, uniXXXX, uXXXXX, suffixed") {
     assert(Glyphs.glyphToUnicode("alpha").contains("α"))
     assert(Glyphs.glyphToUnicode("Euro").contains("€"))

@@ -58,6 +58,25 @@ class XrefDocSpec extends AnyFunSuite {
     assert(r.text == "Updated!!")
   }
 
+  test("incremental update frees an object: newer free entry shadows older in-use") {
+    // page with TWO content streams; the update deletes the second one
+    val objs = baseObjs.map {
+      case (3, _) => 3 -> ("<< /Type /Page /Parent 2 0 R /Resources " +
+        "<< /Font << /F1 5 0 R >> >> /Contents [4 0 R 6 0 R] >>")
+      case o => o
+    } :+ (6 -> "<< /Length 40 >>\nstream\nBT /F1 12 Tf 72 700 Td (Extra) Tj ET\nendstream")
+    val base = new String(pdf(objs), "ISO-8859-1")
+    assert(PdfExtractor.extract(base.getBytes("ISO-8859-1"), inf).text.contains("Extra"))
+    val xref1 = base.lastIndexOf("xref\n0 ")
+    val sb = new StringBuilder(base)
+    val xref2 = sb.length
+    sb.append("xref\n6 1\n0000000000 00001 f \n")
+    sb.append(s"trailer\n<< /Size 7 /Root 1 0 R /Prev $xref1 >>\nstartxref\n$xref2\n%%EOF\n")
+    val r = PdfExtractor.extract(sb.toString.getBytes("ISO-8859-1"), inf)
+    assert(!r.text.contains("Extra"), s"freed object resurrected: '${r.text}'")
+    assert(r.text.contains("Hello World"))
+  }
+
   test("wrong startxref offset: recovery via object scan") {
     val good = new String(pdf(baseObjs), "ISO-8859-1")
     // corrupt the startxref number
