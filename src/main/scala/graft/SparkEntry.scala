@@ -177,9 +177,18 @@ object SparkEntry {
     "d1_exact_dedup_groups" -> ((s, dir) => Dedup.exact(docsWithDups(s, dir))),
     "d2_minhash_pairs" -> ((s, dir) => Dedup.minhashPairs(docsWithDups(s, dir))),
     "d3_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docsWithDups(s, dir))),
+    // exact n-gram Jaccard verify stage, candidates from prefix-hash
+    // blocking (SQL-expressible → DuckDB-checkable; the minhash→verify
+    // composition is value-tested in DedupSpec)
     "d4_ngram_jaccard" -> ((s, dir) => {
       val d = docsWithDups(s, dir)
-      Dedup.ngramJaccard(d, Dedup.minhashPairs(d).select("doc_a", "doc_b"))
+      val blk = d.select(col("doc_id"), md5(substring(col("text"), 1, 64)).as("blk"))
+      val cand = blk.as("a").join(blk.as("b"), Seq("blk"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      Dedup.ngramJaccard(d, cand)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
     }),
     "d5_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir)).limit(2000)),
     "s1_ann_brute" -> ((s, dir) => {
@@ -228,6 +237,12 @@ object SparkEntry {
     val mwl = s"CASE WHEN $toks > 0 THEN (CAST(length(text) AS DOUBLE) - $toks + 1) / $toks ELSE 0.0 END"
     val pr = s"CASE WHEN length(text) > 0 THEN CAST($punct AS DOUBLE) / length(text) ELSE 1.0 END"
     val wlok = s"CASE WHEN ($mwl) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END"
+    // SQL mirror of docsWithDups: base ∪ planted near-dups ∪ planted exacts
+    val dupDocs =
+      ("WITH seeded AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0), " +
+        "docs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 10000000, text || ' tailword' FROM seeded " +
+        "UNION ALL SELECT doc_id + 20000000, text FROM seeded)")
 
     Map(
       "q1_agg_pushdown" ->
@@ -278,6 +293,25 @@ object SparkEntry {
           s"ROUND($mwl, 4) AS mean_word_len, ROUND($pr, 6) AS punct_ratio, " +
           s"ROUND(LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * (1.0 - ($pr)) * ($wlok), 6) AS quality " +
           "FROM documents ORDER BY doc_id LIMIT 2000"),
+      "d1_exact_dedup_groups" ->
+        (s"$dupDocs SELECT md5(text) AS content_hash, COUNT(*) AS n_dups, " +
+          "MIN(doc_id) AS canonical_id FROM docs " +
+          "GROUP BY md5(text) HAVING COUNT(*) > 1 ORDER BY content_hash"),
+      "d4_ngram_jaccard" ->
+        (s"$dupDocs, " +
+          "blocked AS (SELECT doc_id, md5(substr(text,1,64)) AS blk FROM docs), " +
+          "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+          "FROM blocked a JOIN blocked b USING (blk) WHERE a.doc_id < b.doc_id), " +
+          // trailing-'' trim mirrors JVM split-semantics (drops trailing empties)
+          "words AS (SELECT doc_id, CASE WHEN len(w0) > 0 AND w0[-1] = '' " +
+          "THEN w0[:len(w0)-1] ELSE w0 END AS w FROM " +
+          "(SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w0 FROM docs)), " +
+          "grams AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') " +
+          "for i in range(1, greatest(len(w)-3, 0) + 2)]) AS gs FROM words) " +
+          "SELECT doc_a, doc_b, ROUND(CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE) / " +
+          "len(list_distinct(ga.gs || gb.gs)), 6) AS jaccard " +
+          "FROM pairs JOIN grams ga ON doc_a = ga.doc_id " +
+          "JOIN grams gb ON doc_b = gb.doc_id ORDER BY doc_a, doc_b"),
       "q12_langid" ->
         (s"SELECT doc_id, CASE WHEN $zh > 0 THEN 'zh' " +
           s"WHEN $de > $fr AND $de > $es THEN 'de' " +

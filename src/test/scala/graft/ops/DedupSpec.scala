@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Value-level tests for the dedup family on crafted documents with
+  * hand-computable set math (VERDICT r1 item 7): exact Jaccard values
+  * for ngramJaccard, similarity/identity properties for minhash and
+  * simhash (whose hash values are not hand-computable, but whose
+  * invariants are), and the minhash→verify pipeline composition.
+  */
+class DedupSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  import scala.jdk.CollectionConverters._
+  private def docs(rows: (Long, String)*) = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    spark.createDataFrame(
+      rows.map(r => org.apache.spark.sql.Row(r._1, r._2)).asJava, schema)
+  }
+
+  test("ngramJaccard: exact hand-computed values") {
+    // doc1: w1..w5 -> 3-grams {w1 w2 w3, w2 w3 w4, w3 w4 w5}
+    // doc2: w1..w4 -> {w1 w2 w3, w2 w3 w4}   inter=2 union=3 -> 2/3
+    // doc3: shorter than n -> single whole-text gram
+    val d = docs(
+      1L -> "w1 w2 w3 w4 w5",
+      2L -> "w1 w2 w3 w4",
+      3L -> "w1 w2")
+    val cand = docs(1L -> "x").sparkSession.createDataFrame(Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L))).toDF("doc_a", "doc_b")
+    val got = Dedup.ngramJaccard(d, cand).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(got((1L, 2L)) - 2.0 / 3.0) < 1e-12)
+    // doc3 gram {"w1 w2"} vs doc1 grams: disjoint -> 0/4
+    assert(got((1L, 3L)) == 0.0)
+    assert(got((2L, 3L)) == 0.0)
+  }
+
+  test("minhash: identical docs have identical signatures; est_jaccard 1.0") {
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "alpha beta gamma delta epsilon zeta", // exact copy
+      3L -> "totally different words nothing shared here at all")
+    val pairs = Dedup.minhashPairs(d, minEstJaccard = 0.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) == 1.0, s"exact copies must agree on all minhashes: $pairs")
+    assert(!pairs.contains((1L, 3L)) || pairs((1L, 3L)) < 0.3,
+      "disjoint docs should share no band (or near-zero estimate)")
+  }
+
+  test("minhash est_jaccard tracks true shingle Jaccard on a near-dup") {
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> (base + " tailword"))
+    val est = Dedup.minhashPairs(d, minEstJaccard = 0.0).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      .apply((1L, 2L))
+    // true 5-char-shingle Jaccard of base vs base+" tailword" is > 0.9;
+    // a 32-hash estimate is within ±0.25 with overwhelming probability
+    assert(est > 0.65, s"estimate $est too far from true similarity")
+  }
+
+  test("simhash: identical docs collide (hamming 0); near-dup within band reach") {
+    val base = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> base, 3L -> (base + " extra"))
+    val sh = Dedup.simhash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L), "identical docs must have equal simhash")
+    val pairs = Dedup.simhashPairs(d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((1L, 2L)) == 0)
+    // one extra token on 50 flips few weighted bits: must stay <= 3
+    assert(pairs.contains((1L, 3L)), s"near-dup not found: $pairs")
+  }
+
+  test("pipeline composition: minhash candidates -> exact jaccard verify") {
+    val base = (1 to 30).map(i => s"v$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> base, 3L -> "unrelated content entirely")
+    val cand = Dedup.minhashPairs(d).select("doc_a", "doc_b")
+    val verified = Dedup.ngramJaccard(d, cand).collect()
+    assert(verified.length == 1)
+    assert(verified.head.getLong(0) == 1L && verified.head.getLong(1) == 2L)
+    assert(verified.head.getDouble(2) == 1.0)
+  }
+
+  test("exact dedup groups: md5 groupBy with canonical min id") {
+    val d = docs(5L -> "same", 9L -> "same", 7L -> "other", 8L -> "third")
+    val g = Dedup.exact(d).collect()
+    assert(g.length == 1)
+    assert(g.head.getLong(1) == 2L && g.head.getLong(2) == 5L)
+  }
+}
