@@ -209,6 +209,19 @@ object SparkEntry {
       val q = emb.orderBy(col("vec_id").desc).limit(5)
       Similarity.ivfTopK(emb, q, 10, dim).select("query_id", "vec_id", "rank")
     }),
+    // recall@10 of the approximate paths vs the exact baseline, measured
+    // on the driver corpus (random Gaussian vectors — an adversarial,
+    // structure-free case; the clustered-corpus recall gate lives in
+    // SimilaritySpec)
+    "s5_ann_recall" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val dim = emb.select(size(col("embedding"))).first().getInt(0)
+      val q = emb.orderBy("vec_id").limit(5)
+      val truth = Similarity.bruteForceTopK(emb, q, 10)
+      Similarity.recallVs(truth, Similarity.lshTopK(emb, q, 10, dim), "lsh")
+        .unionByName(Similarity.recallVs(truth, Similarity.ivfTopK(emb, q, 10, dim), "ivf"))
+        .orderBy("method")
+    }),
     "s3_cosine_neardups" -> ((s, dir) => {
       val emb = embWithDups(s, dir)
       val dim = emb.select(size(col("embedding"))).first().getInt(0)

@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ANN value + recall + plan-shape tests (VERDICT r1 items 3/4/9):
+  * bounded top-k equals the exact window ranking, LSH/IVF recall is
+  * MEASURED (≥0.9 for LSH on a clustered corpus — the round-1 recall
+  * collapse returned 1 of 50 expected rows and went unnoticed because
+  * nothing compared against ground truth), and no ANN plan contains a
+  * per-query window exchange.
+  */
+class SimilaritySpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private val dim = 16
+
+  /** Deterministic clustered corpus: `nClusters` Gaussian centers, each
+    * with `perCluster` members at small noise — the structure real text
+    * embeddings have (and the regime LSH is built for).
+    */
+  private def clustered(nClusters: Int, perCluster: Int, noise: Double): DataFrame = {
+    val rng = new scala.util.Random(4242L)
+    val centers = Array.fill(nClusters)(Array.fill(dim)(rng.nextGaussian()))
+    val rows = for {
+      c <- 0 until nClusters
+      m <- 0 until perCluster
+    } yield {
+      val v = centers(c).map(x => (x + noise * rng.nextGaussian()).toFloat)
+      ((c * perCluster + m).toLong, v.toSeq)
+    }
+    spark.createDataFrame(rows).toDF("vec_id", "embedding")
+  }
+
+  private def idsByQuery(df: DataFrame): Map[Long, Set[Long]] =
+    df.select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+
+  test("topKPerQuery equals the exact window ranking (values + order)") {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = clustered(8, 25, 0.3)
+    val queries = corpus.orderBy("vec_id").limit(3)
+    val scored = corpus.as("c").crossJoin(broadcast(queries.as("q")))
+      .filter(col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("vec_id"),
+        Similarity.cosine(col("q.embedding"), col("c.embedding")).as("cos"))
+    val viaAgg = Similarity.topKPerQuery(scored, 7)
+      .select("query_id", "vec_id", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    val viaWindow = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 7).orderBy("query_id", "rank")
+      .select("query_id", "vec_id", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(viaAgg.toSeq == viaWindow.toSeq)
+  }
+
+  test("topKPerQuery dedups duplicate candidates (multi-table collisions)") {
+    val scored = spark.createDataFrame(Seq(
+      (1L, 10L, 0.9), (1L, 10L, 0.9), (1L, 11L, 0.8), (1L, 11L, 0.8), (1L, 12L, 0.7)
+    )).toDF("query_id", "vec_id", "cos")
+    val got = Similarity.topKPerQuery(scored, 3).select("vec_id").collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(10L, 11L, 12L))
+  }
+
+  test("LSH recall@10 >= 0.9 on a clustered corpus") {
+    val corpus = clustered(20, 50, 0.15)
+    val queries = corpus.filter(col("vec_id") % 100 === 0).limit(5)
+    val truth = idsByQuery(Similarity.bruteForceTopK(corpus, queries, 10))
+    val lsh = idsByQuery(Similarity.lshTopK(corpus, queries, 10, dim))
+    val recalls = truth.map { case (q, t) =>
+      lsh.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"LSH recall collapsed again: $mean (per-query: $recalls)")
+  }
+
+  test("IVF recall@10 >= 0.8 on a clustered corpus (k-means cells)") {
+    val corpus = clustered(20, 50, 0.15)
+    val queries = corpus.filter(col("vec_id") % 100 === 0).limit(5)
+    val truth = idsByQuery(Similarity.bruteForceTopK(corpus, queries, 10))
+    val ivf = idsByQuery(Similarity.ivfTopK(corpus, queries, 10, dim))
+    val recalls = truth.map { case (q, t) =>
+      ivf.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"IVF recall too low: $mean (per-query: $recalls)")
+  }
+
+  test("kmeans centroids beat first-k selection on assignment cost") {
+    val corpus = clustered(16, 40, 0.2)
+    val sample = corpus.orderBy("vec_id").limit(1024).select("embedding")
+      .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    def cost(cents: Array[Array[Double]]): Double = sample.map { v =>
+      cents.map(c => c.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum).min
+    }.sum
+    val refined = Similarity.kmeansCentroids(corpus, dim, 16).map(_._2.map(_.toDouble))
+    val firstK = sample.take(16)
+    assert(cost(refined) < cost(firstK) * 0.8,
+      s"refinement did not improve: ${cost(refined)} vs ${cost(firstK)}")
+  }
+
+  test("cosineNearDups finds planted exact-direction duplicates") {
+    val corpus = clustered(10, 30, 0.3)
+    val dups = corpus.filter(col("vec_id") % 60 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), x => x * 2.0f).as("embedding"))
+    val all = corpus.unionByName(dups)
+    val pairs = Similarity.cosineNearDups(all, dim)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 300 by 60).map(i => (i.toLong, i + 100000L)).toSet
+    assert(expected.subsetOf(pairs), s"missing planted dups: ${expected -- pairs}")
+  }
+
+  test("no ANN plan contains a window exchange (scale-safe top-k)") {
+    val corpus = clustered(8, 25, 0.3)
+    val queries = corpus.orderBy("vec_id").limit(3)
+    Seq(
+      Similarity.bruteForceTopK(corpus, queries, 10),
+      Similarity.lshTopK(corpus, queries, 10, dim),
+      Similarity.ivfTopK(corpus, queries, 10, dim)
+    ).foreach { df =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Window"), s"window exchange found:\n$p")
+      assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+        "expected partial top-k aggregation")
+    }
+  }
+
+  test("driver-shape LSH query returns full k rows per query (round-1 returned 1/50)") {
+    // mirrors s2_ann_lsh on random vectors: rows must be 5 queries x k
+    val rng = new scala.util.Random(77L)
+    val rows = (0 until 500).map(i => (i.toLong, Seq.fill(dim)(rng.nextGaussian().toFloat)))
+    val corpus = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val queries = corpus.orderBy("vec_id").limit(5)
+    val n = Similarity.lshTopK(corpus, queries, 10, dim).count()
+    assert(n == 50L, s"expected 50 rows, got $n")
+  }
+}
