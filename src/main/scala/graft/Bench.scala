@@ -5,8 +5,16 @@ import org.apache.spark.sql.SparkSession
 /** Per-round benchmark main (driver contract): times every
   * SparkEntry.queries entry on SPARK_GRAFT_SF_DIR, plus the extraction
   * pipeline on the bench-tier synthesized corpus, and prints ONE JSON
-  * line. Scaling evidence (local[8] vs local[32]) lives in
+  * line. Scaling evidence (local-cluster 1x4 vs 4x4 executors) lives in
   * graft.ScalingBench → BENCH/BASELINE.md.
+  *
+  * Measurement honesty (VERDICT r1): round-1's driver measurement saw
+  * 2,402 docs/sec where the warm truth was ~22,400 — the corpus was
+  * generated in-process moments before timing and the extraction code
+  * paths were JIT-cold. So: (1) corpora are ensured BEFORE any timing,
+  * (2) every query gets one untimed warm-up pass (C2 JIT is worth >2x
+  * on the extraction kernels), (3) the headline extraction number is
+  * the min of 2 timed reps after warm-up.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -28,21 +36,30 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val sec = try time(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 }
-      name -> sec
-    }
-
-    // extraction throughput on the bench corpus (docs/sec headline)
+    // --- phase 0: materialize corpora before ANY clock starts
     val benchN = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS",
       graft.gen.CorpusTables.SfBench.toString).toInt
+    graft.gen.CorpusTables.ensure(spark, SparkEntry.DataDir, graft.gen.CorpusTables.SfSmall)
     val (cp, _) = graft.gen.CorpusTables.ensure(spark, SparkEntry.DataDir, benchN)
     val corpus = graft.io.Tables.read(spark, cp)
     val spec = graft.job.Partitioning.defaultSpec(cpus.toInt)
-    val extractSec = time {
+    def extractOnce(): Long =
       graft.job.ExtractJob.plan(spark, corpus, null, spec)
         .filter(_.error.isEmpty).count()
+
+    // --- phase 1: untimed warm-up (JIT + codegen + file-cache)
+    extractOnce()
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    sorted.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
+
+    // --- phase 2: timed
+    val results = sorted.map { case (name, fn) =>
+      val sec = try time(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 }
+      name -> sec
+    }
+    val extractSec = math.min(time(extractOnce()), time(extractOnce()))
     val docsPerSec = benchN / extractSec
 
     val qs = (results :+ ("extract_bench" -> extractSec))
