@@ -87,7 +87,8 @@ object CorpusGen {
       inlineImage = rng.nextInt(4) == 0,
       markedContent = rng.nextInt(3) == 0,
       junkAfterEof = rng.nextInt(5) == 0,
-      indirectLength = rng.nextInt(4) == 0)
+      indirectLength = rng.nextInt(4) == 0,
+      splitShow = i % 2 == 0) // fires when the showKind/posKind/fontKind gates align
   }
 
   /** WET-style flattened text: expected text with newlines as spaces —

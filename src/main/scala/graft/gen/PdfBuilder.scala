@@ -34,7 +34,12 @@ object PdfBuilder {
       inlineImage: Boolean,
       markedContent: Boolean,
       junkAfterEof: Boolean,
-      indirectLength: Boolean)
+      indirectLength: Boolean,
+      /** AFM axis: split lines into two Td-positioned shows whose gap is
+        * only decodable with real Core-14 widths (no /Widths in the font
+        * dict). Applies when showKind=0, posKind=0, fontKind∈{0,4}.
+        */
+      splitShow: Boolean = false)
 
   private val FS = 12.0 // font size
   private val LineDy = 14.4 // 1.2 em -> single \n (App. A: 0.5 < 1.2 < 1.8)
@@ -456,6 +461,14 @@ object PdfBuilder {
       case _ => winAnsiRev.getOrElse(ch.toInt, '?'.toInt)
     }
 
+    /** The codepoint the EXTRACTOR will see for `ch` (code → encoding
+      * table), used to mirror its AFM advance computation exactly.
+      */
+    def cpOf(ch: Char): Int = fontKind match {
+      case 4 => Glyphs.macRoman(macRomanRev.getOrElse(ch.toInt, '?'.toInt))
+      case _ => Glyphs.winAnsi(winAnsiRev.getOrElse(ch.toInt, '?'.toInt))
+    }
+
     /** Text run → show-string (literal for 1-byte kinds, hex for Type0).
       * For Type0, surrogate pairs consume one CID per code point.
       */
@@ -723,6 +736,52 @@ object PdfBuilder {
     // a paragraph rendered inside a form XObject (extra axis)
     val formParaIdx = if (spec.formXObject && paras.size >= 2) 1 else -1
 
+    // AFM split axis (see Spec.splitShow): only meaningful where each
+    // line is a single Td-positioned Tj on a base-14 font WITHOUT
+    // /Widths — the x-advance of the first segment is then computable
+    // only from the Core-14 AFM metrics (Glyphs.stdWidth)
+    val splitApplies = spec.splitShow && spec.showKind == 0 && spec.posKind <= 1 &&
+      (spec.fontKind == 0 || spec.fontKind == 4)
+    val baseFontName = if (spec.fontKind == 4) "Times-Roman" else "Helvetica"
+
+    /** Mirror of the interpreter's advance for a shown segment:
+      * Σ width(code)/1000 · Tfs (tc = tw = 0, tz = 100 here).
+      */
+    def advancePts(s: String): Double = {
+      var a = 0.0
+      var i = 0
+      while (i < s.length) {
+        a += Glyphs.stdWidth(baseFontName, enc.cpOf(s.charAt(i))) / 1000.0 * FS
+        i += 1
+      }
+      a
+    }
+
+    /** Show a line as two Td-positioned segments: a word-boundary split
+      * with a ≥-threshold gap (reads back as a space) or an intra-word
+      * split with a kern-sized gap (reads back seamless). Both require
+      * the extractor's pen x to track real AFM advances.
+      */
+    def emitSplitShow(lineText: String): Unit = {
+      val words = lineText.split(' ')
+      def plain(): Unit = emitShow(ops, spec, lineText, enc, rng)
+      val wordSplit = rng.nextInt(2) == 0
+      val (s1, s2, gapEm) =
+        if (wordSplit && words.length >= 2) {
+          val k = 1 + rng.nextInt(words.length - 1)
+          (words.take(k).mkString(" "), words.drop(k).mkString(" "), 0.25)
+        } else {
+          val k = words.indexWhere(_.length >= 4)
+          if (k < 0) { plain(); return }
+          val cut = 1 + rng.nextInt(words(k).length - 2)
+          ((words.take(k) :+ words(k).substring(0, cut)).mkString(" "),
+            (words(k).substring(cut) +: words.drop(k + 1)).mkString(" "), 0.02)
+        }
+      ops.append(enc.showString(s1, rng)).append(" Tj\n")
+      ops.append(s"${d1(advancePts(s1) + gapEm * FS)} 0 Td\n")
+      ops.append(enc.showString(s2, rng)).append(" Tj\n")
+    }
+
     /** Position to the next line and show it. dy = 0 for page's first line. */
     def emitLine(lineText: String, dy: Double): Unit = {
       val useQuote = spec.showKind == 2 && !needAbsolute && dy > 0
@@ -745,7 +804,8 @@ object PdfBuilder {
             else if (dy == LineDy) ops.append("T*\n")
             else ops.append(s"${d1(dy)} TL\nT*\n${d1(LineDy)} TL\n")
         }
-        emitShow(ops, spec, lineText, enc, rng)
+        if (splitApplies && lineText.length >= 8) emitSplitShow(lineText)
+        else emitShow(ops, spec, lineText, enc, rng)
       }
       needAbsolute = false
     }

@@ -189,16 +189,53 @@ object Fonts {
       .get("MissingWidth").map(doc.resolve).flatMap(int).map(_.toInt)
       .getOrElse(Glyphs.defaultWidth(baseFont))
 
-    FontInfo(resName, subtype, 1, toUni, encTable, diffs, widths, missing,
+    // FN6: base-14 fonts may legally omit /Widths (§9.6.2.2 note) — the
+    // viewer is expected to know the AFM metrics. Synthesize code→width
+    // from the Core-14 AFM tables composed with the active encoding
+    // (+/Differences); only the positional-gap heuristic consumes these.
+    val effWidths: Map[Int, Int] =
+      if (widths.nonEmpty) widths
+      else Glyphs.afmTable(baseFont) match {
+        case Some(tbl) =>
+          val b = Map.newBuilder[Int, Int]
+          var c = 0
+          while (c < 256) {
+            val cp = diffs.get(c)
+              .flatMap(Glyphs.glyphToUnicode).filter(_.length == 1)
+              .map(_.charAt(0).toInt)
+              .orElse(if (encTable != null && encTable(c) >= 0) Some(encTable(c)) else None)
+            cp.foreach { p =>
+              val w = Glyphs.afmWidthAt(tbl, p)
+              if (w >= 0) b += c -> w
+            }
+            c += 1
+          }
+          b.result()
+        case None => Map.empty
+      }
+
+    FontInfo(resName, subtype, 1, toUni, encTable, diffs, effWidths, missing,
       isType0 = false, identityCid = false)
   }
 
+  /** Thrown for Type0 fonts using a predefined CID CMap (UniGB-UCS2-H
+    * etc.) with no /ToUnicode: text would be silently unmappable, so
+    * the document becomes an error row with a DISTINCT countable tag —
+    * at corpus scale these (mostly CJK) documents must be observable,
+    * not silently emptied (VERDICT r1 item 10).
+    */
+  final class UnsupportedCMapException(cmapName: String)
+    extends RuntimeException(s"unsupported-cmap:$cmapName")
+
   private def loadType0(doc: PdfDocument, resName: String, fontDict: PDict,
                         toUni: ToUnicodeCMap): FontInfo = {
-    val identity = doc.resolve(fontDict.get("Encoding").getOrElse(PNull)) match {
-      case PName("Identity-H") | PName("Identity-V") => true
-      case _ => false
+    val encName = doc.resolve(fontDict.get("Encoding").getOrElse(PNull)) match {
+      case PName(s) => s
+      case _ => ""
     }
+    val identity = encName == "Identity-H" || encName == "Identity-V"
+    if (!identity && toUni.isEmpty)
+      throw new UnsupportedCMapException(if (encName.isEmpty) "none" else encName)
     // /DescendantFonts [ CIDFont ] → /W ranges, /DW default 1000 (§9.7.4.3)
     val desc: PDict = doc.resolve(fontDict.get("DescendantFonts").getOrElse(PNull)) match {
       case PArray(items) if items.nonEmpty => doc.dictOf(items.head)

@@ -144,12 +144,123 @@ object Glyphs {
     winAnsi.map(cp => if (cp < 0) null else inv.getOrElse(cp, null))
   }
 
-  /** Crude per-glyph width table (FN6 approximation): standard-14 metrics
-    * reduced to class averages — Courier fixed 600/1000 em; proportional
-    * fonts ~500/1000 average. Only feeds the same-line positional-gap
-    * heuristic (SURVEY.md App. A), never glyph output, so byte-identity
-    * of extracted text does not depend on exact AFM data.
+  /** Average fallback width for codes not covered by AFM data (exotic
+    * glyphs in a base-14 font, or non-base-14 fonts without /Widths).
+    * Only feeds the same-line positional-gap heuristic (SURVEY.md
+    * App. A), never glyph output.
     */
   def defaultWidth(baseFont: String): Int =
     if (baseFont != null && baseFont.contains("Courier")) 600 else 500
+
+  // --- Standard-14 AFM widths (FN6) -----------------------------------
+  // Adobe Core-14 AFM metrics (public Adobe data), ASCII range
+  // 0x20..0x7E as 95-entry arrays; oblique/italic variants of Helvetica
+  // share the upright metrics, Courier is fixed-pitch 600. Accented
+  // Latin glyphs in these fonts share the base letter's width, so
+  // afmWidth falls back to the NFD-stripped base character.
+
+  private def ws(s: String): Array[Int] = s.trim.split("\\s+").map(_.toInt)
+
+  private val afmHelvetica: Array[Int] = ws("""
+    278 278 355 556 556 889 667 191 333 333 389 584 278 333 278 278
+    556 556 556 556 556 556 556 556 556 556 278 278 584 584 584 556
+    1015 667 667 722 722 667 611 778 722 278 500 667 556 833 722 778
+    667 778 722 667 611 722 667 944 667 667 611 278 278 278 469 556
+    333 556 556 500 556 556 278 556 556 222 222 500 222 833 556 556
+    556 556 333 500 278 556 500 722 500 500 500 334 260 334 584""")
+
+  private val afmHelveticaBold: Array[Int] = ws("""
+    278 333 474 556 556 889 722 238 333 333 389 584 278 333 278 278
+    556 556 556 556 556 556 556 556 556 556 333 333 584 584 584 611
+    975 722 722 722 722 667 611 778 722 278 556 722 611 833 722 778
+    667 778 722 667 611 722 667 944 667 667 611 333 278 333 584 556
+    333 556 611 556 611 556 333 611 611 278 278 556 278 889 611 611
+    611 611 389 556 333 611 556 778 556 556 500 389 280 389 584""")
+
+  private val afmTimes: Array[Int] = ws("""
+    250 333 408 500 500 833 778 180 333 333 500 564 250 333 250 278
+    500 500 500 500 500 500 500 500 500 500 278 278 564 564 564 444
+    921 722 667 667 722 611 556 722 722 333 389 722 611 889 722 722
+    556 722 667 556 611 722 722 944 722 722 611 333 278 333 469 500
+    333 444 500 444 500 444 333 500 500 278 278 500 278 778 500 500
+    500 500 333 389 278 500 500 722 500 500 444 480 200 480 541""")
+
+  private val afmTimesBold: Array[Int] = ws("""
+    250 333 555 500 500 1000 833 278 333 333 500 570 250 333 250 278
+    500 500 500 500 500 500 500 500 500 500 333 333 570 570 570 500
+    930 722 667 722 722 667 611 778 778 389 500 778 667 944 722 778
+    611 778 722 556 667 722 722 1000 722 722 667 333 278 333 581 500
+    333 500 556 444 556 444 333 500 556 278 333 556 278 833 556 500
+    556 556 444 389 333 556 500 722 500 500 444 394 220 394 520""")
+
+  private val afmTimesItalic: Array[Int] = ws("""
+    250 333 420 500 500 833 778 214 333 333 500 675 250 333 250 278
+    500 500 500 500 500 500 500 500 500 500 333 333 675 675 675 500
+    920 611 611 667 722 611 611 722 722 333 444 667 556 833 667 722
+    611 722 611 500 556 722 611 833 611 556 556 389 278 389 422 500
+    333 500 500 444 500 444 278 500 500 278 278 444 278 722 500 500
+    500 500 389 389 278 500 444 667 444 444 389 400 275 400 541""")
+
+  private val afmTimesBoldItalic: Array[Int] = ws("""
+    250 389 555 500 500 833 778 278 333 333 500 570 250 333 250 278
+    500 500 500 500 500 500 500 500 500 500 333 333 570 570 570 500
+    832 667 667 667 722 667 667 722 778 389 500 667 611 889 722 722
+    611 722 667 556 611 722 667 889 667 611 611 333 278 333 570 500
+    333 500 500 444 500 444 333 500 556 278 278 500 278 778 556 500
+    500 500 389 389 278 556 444 667 500 444 389 348 220 348 570""")
+
+  private val afmCourier: Array[Int] = Array.fill(95)(600)
+
+  /** AFM ASCII width table for a standard-14 base font (None for
+    * non-base-14). Strips subset prefixes ("ABCDEF+Helvetica") and
+    * recognizes the usual substitution aliases (Arial, TimesNewRoman,
+    * CourierNew).
+    */
+  def afmTable(baseFont: String): Option[Array[Int]] = {
+    if (baseFont == null || baseFont.isEmpty) return None
+    val stripped = baseFont.lastIndexOf('+') match {
+      case -1 => baseFont
+      case i => baseFont.substring(i + 1)
+    }
+    val n = stripped.toLowerCase
+    val bold = n.contains("bold")
+    val italic = n.contains("italic") || n.contains("oblique")
+    if (n.contains("courier") || n.contains("mono")) Some(afmCourier)
+    else if (n.contains("times"))
+      Some(if (bold && italic) afmTimesBoldItalic
+      else if (bold) afmTimesBold
+      else if (italic) afmTimesItalic
+      else afmTimes)
+    else if (n.contains("helvetica") || n.contains("arial"))
+      Some(if (bold) afmHelveticaBold else afmHelvetica)
+    else None
+  }
+
+  /** Width of codepoint `cp` in the given AFM table: direct for ASCII,
+    * NFD-stripped base letter for accented Latin, -1 when unknown.
+    */
+  def afmWidthAt(tbl: Array[Int], cp: Int): Int = {
+    if (cp >= 0x20 && cp <= 0x7E) tbl(cp - 0x20)
+    else if (cp < 0) -1
+    else {
+      val s = java.text.Normalizer.normalize(
+        new String(Character.toChars(cp)), java.text.Normalizer.Form.NFD)
+      if (s.nonEmpty) {
+        val b = s.charAt(0).toInt
+        if (b >= 0x20 && b <= 0x7E && b != cp) tbl(b - 0x20) else -1
+      } else -1
+    }
+  }
+
+  /** Width (1000-em units) of codepoint `cp` in base-14 font `baseFont`
+    * with the class-average fallback — shared by the extractor's width
+    * synthesis and the corpus generator's advance computation.
+    */
+  def stdWidth(baseFont: String, cp: Int): Int =
+    afmTable(baseFont) match {
+      case Some(t) =>
+        val w = afmWidthAt(t, cp)
+        if (w >= 0) w else defaultWidth(baseFont)
+      case None => defaultWidth(baseFont)
+    }
 }

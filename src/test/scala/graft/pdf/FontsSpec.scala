@@ -92,6 +92,33 @@ class FontsSpec extends AnyFunSuite {
     assert(Glyphs.glyphToUnicode("g123").isEmpty)
   }
 
+  test("Core-14 AFM widths: families, aliases, accent fallback") {
+    val h = Glyphs.afmTable("Helvetica").get
+    assert(Glyphs.afmWidthAt(h, ' ') == 278)
+    assert(Glyphs.afmWidthAt(h, 'i') == 222)
+    assert(Glyphs.afmWidthAt(h, 'W') == 944)
+    assert(Glyphs.afmWidthAt(h, '@') == 1015)
+    // oblique shares upright metrics; bold differs
+    assert(Glyphs.afmTable("Helvetica-Oblique").get eq h)
+    assert(Glyphs.afmWidthAt(Glyphs.afmTable("Helvetica-Bold").get, 'a') == 556)
+    val t = Glyphs.afmTable("Times-Roman").get
+    assert(Glyphs.afmWidthAt(t, ' ') == 250)
+    assert(Glyphs.afmWidthAt(t, 'f') == 333)
+    assert(Glyphs.afmWidthAt(Glyphs.afmTable("Times-BoldItalic").get, 'M') == 889)
+    // accented Latin falls back to the base letter's width
+    assert(Glyphs.afmWidthAt(h, 'é') == Glyphs.afmWidthAt(h, 'e'))
+    assert(Glyphs.afmWidthAt(h, 'Ä') == Glyphs.afmWidthAt(h, 'A'))
+    // fixed-pitch + aliases + subset prefixes
+    assert(Glyphs.stdWidth("Courier-BoldOblique", 'm') == 600)
+    assert(Glyphs.stdWidth("ABCDEF+ArialMT", 'i') == 222)
+    assert(Glyphs.stdWidth("TimesNewRomanPSMT", ' ') == 250)
+    // non-base-14 → class-average fallback
+    assert(Glyphs.afmTable("SomeCustomFont").isEmpty)
+    assert(Glyphs.stdWidth("SomeCustomFont", 'x') == 500)
+    // exotic glyph in a base-14 font → fallback
+    assert(Glyphs.stdWidth("Helvetica", '漢') == 500)
+  }
+
   test("WinAnsi spot checks") {
     assert(Glyphs.winAnsi('A') == 'A'.toInt)
     assert(Glyphs.winAnsi(0x80) == 0x20AC) // €

@@ -98,6 +98,16 @@ class XrefDocSpec extends AnyFunSuite {
     assert(e.getMessage == "encrypted")
   }
 
+  test("Type0 with predefined CID CMap and no ToUnicode: distinct countable error") {
+    val objs = baseObjs.map {
+      case (5, _) => 5 -> ("<< /Type /Font /Subtype /Type0 /BaseFont /STSong-Light " +
+        "/Encoding /UniGB-UCS2-H /DescendantFonts [6 0 R] >>")
+      case o => o
+    } :+ (6 -> "<< /Type /Font /Subtype /CIDFontType0 /BaseFont /STSong-Light >>")
+    val e = intercept[Exception] { PdfExtractor.extract(pdf(objs), inf) }
+    assert(e.getMessage == "unsupported-cmap:UniGB-UCS2-H")
+  }
+
   test("/Length as indirect reference") {
     val objs = baseObjs.map {
       case (4, _) => 4 -> "<< /Length 6 0 R >>\nstream\nBT /F1 12 Tf 72 720 Td (Indirect) Tj ET\nendstream"
