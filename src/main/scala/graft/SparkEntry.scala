@@ -113,6 +113,17 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // error taxonomy: every defect class must surface as a countable,
+    // distinctly-tagged error row (100 TB observability; SURVEY §2.7)
+    "x6_error_taxonomy" -> ((s, _) => {
+      val rows = graft.gen.ErrorDocs.docs()
+      val df = s.createDataFrame(rows).toDF("url", "html")
+      ExtractJob.plan(s, df, null, Partitioning.defaultSpec(4)).toDF()
+        .select(col("url"), col("kind"),
+          coalesce(col("error"), lit("ok")).as("error_tag"))
+        .orderBy("url")
+    }),
+
     // ---- relational shell (DuckDB-checked, SURVEY §2.6) ----
     "q1_agg_pushdown" -> ((s, dir) =>
       li(s, dir)
@@ -306,6 +317,17 @@ object SparkEntry {
           s"ROUND($mwl, 4) AS mean_word_len, ROUND($pr, 6) AS punct_ratio, " +
           s"ROUND(LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * (1.0 - ($pr)) * ($wlok), 6) AS quality " +
           "FROM documents ORDER BY doc_id LIMIT 2000"),
+      // hand-computed expected taxonomy (the planted defects are fixed)
+      "x6_error_taxonomy" ->
+        ("SELECT * FROM (VALUES " +
+          "('err://cjk-cmap', 'error', 'unsupported-cmap:UniGB-UCS2-H'), " +
+          "('err://empty', 'html', 'ok'), " +
+          "('err://encrypted', 'error', 'encrypted'), " +
+          "('err://ok-html', 'html', 'ok'), " +
+          "('err://ok-pdf', 'pdf', 'ok'), " +
+          "('err://pdf-junk', 'error', 'no xref and no objects found'), " +
+          "('err://pdf-truncated', 'error', 'no /Root recoverable')" +
+          ") AS t(url, kind, error_tag) ORDER BY url"),
       "d1_exact_dedup_groups" ->
         (s"$dupDocs SELECT md5(text) AS content_hash, COUNT(*) AS n_dups, " +
           "MIN(doc_id) AS canonical_id FROM docs " +

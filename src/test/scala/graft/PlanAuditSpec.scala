@@ -51,9 +51,27 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("dedup ops never plan a cartesian product") {
-    Seq("d2_minhash_pairs", "d3_simhash_pairs").foreach { q =>
+    Seq("d2_minhash_pairs", "d3_simhash_pairs", "d4_ngram_jaccard").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+    }
+  }
+
+  test("d2/d4: no persisted plan branches (r1 leaked storage) and single gram join in d4") {
+    val p2 = plan("d2_minhash_pairs")
+    assert(!p2.contains("InMemoryTableScan"), "d2 still caches signatures")
+    val p4 = plan("d4_ngram_jaccard")
+    assert(!p4.contains("InMemoryTableScan"), "d4 still caches candidates")
+    // pair melted to sides -> the gram table is joined exactly once
+    val gramJoins = p4.linesIterator.count(l => l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+    assert(gramJoins <= 2, s"expected blocking join + one gram join, got $gramJoins:\n$p4")
+  }
+
+  test("s2/s4: ANN ranking is a partial aggregation, not a window exchange") {
+    Seq("s2_ann_lsh", "s4_ann_ivf").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q ranks through a window:\n$p")
+      assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), q)
     }
   }
 
