@@ -17,6 +17,27 @@ class PropertySpec extends AnyFunSuite {
     assert(res.passed, s"$name: $res")
   }
 
+  test("TopKAgg: any partitioning of the input yields the exact sorted top-k") {
+    import graft.ops.{Scored, TopKAgg}
+    val genScored = for {
+      cos <- Gen.chooseNum(-1.0, 1.0)
+      id <- Gen.chooseNum(0L, 30L) // small id space → duplicates occur
+    } yield Scored(cos, id)
+    check("topk-partition-invariance", Prop.forAll(
+      Gen.listOf(genScored), Gen.chooseNum(1, 5), Gen.chooseNum(1, 6)) {
+      (xs: List[Scored], k: Int, nParts: Int) =>
+        val agg = new TopKAgg(k)
+        // truth: best-cos-first, vecId-asc ties, first occurrence per id
+        val truth = xs.sortBy(s => (-s.cos, s.vecId))
+          .distinctBy(_.vecId).take(k)
+        // fold each partition with reduce, then merge across partitions
+        val parts = xs.zipWithIndex.groupBy(_._2 % nParts).values
+          .map(p => p.map(_._1).foldLeft(agg.zero)(agg.reduce))
+        val merged = parts.foldLeft(agg.zero)(agg.merge)
+        agg.finish(merged) == truth
+    })
+  }
+
   test("lexer never throws on arbitrary byte junk") {
     check("lexer-junk", Prop.forAll(
       Gen.containerOf[Array, Byte](Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) {
