@@ -97,21 +97,37 @@ object Similarity {
     array((0 until tables).map(t =>
       struct(lit(t).as("tbl"), lshKey(emb, dim, planes, t).as("key"))): _*)
 
+  /** Query-side multi-probe keys: the base bucket of each table plus,
+    * for probes=1, every single-bit flip of it (the b next-likeliest
+    * buckets — Lv et al., multi-probe LSH). Probing is PURE QUERY-SIDE
+    * work: the corpus bucket layout is untouched, so at deploy scale
+    * probing costs extra broadcast rows, never another corpus pass.
+    */
+  def lshProbeKeys(emb: Column, dim: Int, planes: Int, tables: Int,
+                   probes: Int): Column =
+    array((0 until tables).flatMap { t =>
+      val base = lshKey(emb, dim, planes, t)
+      val variants =
+        if (probes <= 0) Seq(base)
+        else base +: (0 until planes).map(p => base.bitwiseXOR(lit(1 << p)))
+      variants.map(kk => struct(lit(t).as("tbl"), kk.as("key")))
+    }: _*)
+
   /** Multi-table LSH ANN: explode per-table keys, broadcast-join the
     * query side on (tbl, key), score collisions, bounded top-k. The
     * corpus is never shuffled (broadcast hash join + partial top-k);
-    * cross-table duplicate candidates dedup inside the aggregator. At
-    * deploy scale the table keys are precomputed columns with a
-    * bucketed layout, not recomputed per query batch.
+    * cross-table and cross-probe duplicate candidates dedup inside the
+    * aggregator. At deploy scale the table keys are precomputed columns
+    * with a bucketed layout, not recomputed per query batch.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
-              planes: Int = 6, tables: Int = 8): DataFrame = {
+              planes: Int = 6, tables: Int = 8, probes: Int = 1): DataFrame = {
     val cb = corpus.select(col("vec_id"), col("embedding"),
       explode(lshKeys(col("embedding"), dim, planes, tables)).as("bk"))
       .select(col("vec_id"), col("embedding"), col("bk.tbl").as("tbl"), col("bk.key").as("key"))
     val qb = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        explode(lshKeys(col("embedding"), dim, planes, tables)).as("bk"))
+        explode(lshProbeKeys(col("embedding"), dim, planes, tables, probes)).as("bk"))
       .select(col("query_id"), col("q_emb"), col("bk.tbl").as("tbl"), col("bk.key").as("key"))
     val scored = cb.join(broadcast(qb), Seq("tbl", "key"))
       .filter(col("query_id") =!= col("vec_id"))
