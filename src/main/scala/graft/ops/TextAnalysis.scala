@@ -69,13 +69,25 @@ object TextAnalysis {
   /** Document fingerprint: min/max xxhash64 over word 5-gram rolling
     * windows (winnowing-lite). Spark-only (no portable SQL xxhash64).
     */
-  def fingerprint(docs: DataFrame, n: Int = 5): DataFrame = {
-    val grams = docs.select(col("doc_id"),
-      explode(Dedup.ngramCol(col("text"), n)).as("gram"))
-    grams.withColumn("h", xxhash64(col("gram")))
-      .groupBy("doc_id")
-      .agg(min("h").as("fp_min"), max("h").as("fp_max"),
-        count(lit(1)).as("n_grams"))
+  /** Document fingerprints by WINNOWING (Schleimer/Wilkerson/Aiken '03):
+    * hash the word n-grams, slide a window of `w` hashes, keep each
+    * window's minimum, distinct. Guarantee: any shared run of ≥ n+w-1
+    * words yields a shared fingerprint. Entirely per-row higher-order
+    * functions — NO explode, NO shuffle (the r1 version hash-aggregated
+    * exploded grams).
+    */
+  def fingerprint(docs: DataFrame, n: Int = 5, w: Int = 4): DataFrame =
+    fingerprints(docs, n, w)
+      .select(col("doc_id"), size(col("fps")).as("n_fp"),
+        array_min(col("fps")).as("fp_min"), array_max(col("fps")).as("fp_max"))
       .orderBy(col("doc_id"))
+
+  /** (doc_id, fps: array<long>) — the raw winnowed fingerprint sets. */
+  def fingerprints(docs: DataFrame, n: Int = 5, w: Int = 4): DataFrame = {
+    val hs = transform(Dedup.ngramCol(col("text"), n), g => xxhash64(g))
+    docs.select(col("doc_id"),
+      array_distinct(transform(
+        sequence(lit(0), greatest(size(hs) - w, lit(0))),
+        i => array_min(slice(hs, i + 1, lit(w))))).as("fps"))
   }
 }

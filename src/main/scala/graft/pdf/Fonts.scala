@@ -173,7 +173,17 @@ object Fonts {
       case _ => ()
     }
 
-    // widths: /FirstChar + /Widths, /MissingWidth
+    // widths: /FirstChar + /Widths, /MissingWidth. Type3 widths are in
+    // GLYPH SPACE (§9.6.5): scale by the /FontMatrix a-coefficient into
+    // the 1000-em units the interpreter's advance math expects (for the
+    // common [0.001 0 0 0.001 0 0] this is the identity).
+    val glyphScale: Double =
+      if (subtype != "Type3") 1.0
+      else doc.resolve(fontDict.get("FontMatrix").getOrElse(PNull)) match {
+        case PArray(items) if items.nonEmpty =>
+          num(doc.resolve(items.head)).map(_ * 1000.0).getOrElse(1.0)
+        case _ => 1.0
+      }
     val firstChar = doc.resolve(fontDict.get("FirstChar").getOrElse(PNull)) match {
       case PInt(v) => v.toInt
       case _ => 0
@@ -181,7 +191,7 @@ object Fonts {
     val widths: Map[Int, Int] = doc.resolve(fontDict.get("Widths").getOrElse(PNull)) match {
       case PArray(items) =>
         items.zipWithIndex.flatMap { case (w, i) =>
-          num(doc.resolve(w)).map(v => (firstChar + i) -> v.toInt)
+          num(doc.resolve(w)).map(v => (firstChar + i) -> (v * glyphScale).round.toInt)
         }.toMap
       case _ => Map.empty
     }

@@ -95,6 +95,26 @@ class DedupSpec extends AnyFunSuite {
     assert(verified.head.getDouble(2) == 1.0)
   }
 
+  test("winnowing fingerprints: identity + shared-run guarantee, no shuffle") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val d = docs(
+      1L -> base,
+      2L -> base, // identical
+      3L -> (s"prefix0 prefixA prefixB $base"), // shares a 60-word run
+      4L -> (1 to 60).map(i => s"z$i").mkString(" ")) // disjoint
+    val fps = TextAnalysis.fingerprints(d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fps(1L) == fps(2L))
+    // winnowing guarantee: a shared run of >= n+w-1 words yields shared
+    // fingerprints — doc3 contains doc1's full text
+    val shared = fps(1L).intersect(fps(3L)).size.toDouble / fps(1L).size
+    assert(shared > 0.8, s"shared fraction $shared")
+    assert(fps(1L).intersect(fps(4L)).isEmpty)
+    // scale shape: pure per-row transform — no exchange in the plan
+    val p = TextAnalysis.fingerprints(d).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"winnowing should not shuffle:\n$p")
+  }
+
   test("exact dedup groups: md5 groupBy with canonical min id") {
     val d = docs(5L -> "same", 9L -> "same", 7L -> "other", 8L -> "third")
     val g = Dedup.exact(d).collect()

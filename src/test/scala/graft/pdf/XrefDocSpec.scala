@@ -98,6 +98,26 @@ class XrefDocSpec extends AnyFunSuite {
     assert(e.getMessage == "encrypted")
   }
 
+  test("Type3 widths are glyph-space: scaled by /FontMatrix (§9.6.5)") {
+    // FontMatrix a=0.01, /Widths 50 => advance 0.5 em per glyph (not
+    // 50/1000 em). Two shows on one line: gap = 13.2 - 2*6.0 = 1.2pt
+    // = 0.1 em < 0.18 => NO space. Misreading widths as 1000-em units
+    // would compute gap 12pt = 1.0 em and insert a bogus space.
+    val t3 = "<< /Type /Font /Subtype /Type3 /FontBBox [0 0 100 100] " +
+      "/FontMatrix [0.01 0 0 0.01 0 0] " +
+      "/CharProcs << /A 6 0 R /B 6 0 R /C 6 0 R /D 6 0 R >> " +
+      "/Encoding << /Type /Encoding /Differences [65 /A /B /C /D] >> " +
+      "/FirstChar 65 /LastChar 68 /Widths [50 50 50 50] >>"
+    val objs = baseObjs.map {
+      case (4, _) => 4 -> ("<< /Length 60 >>\nstream\n" +
+        "BT /F1 12 Tf 72 720 Td (AB) Tj 13.2 0 Td (CD) Tj ET\nendstream")
+      case (5, _) => 5 -> t3
+      case o => o
+    } :+ (6 -> "<< /Length 4 >>\nstream\nnull\nendstream")
+    val r = PdfExtractor.extract(pdf(objs), inf)
+    assert(r.text == "ABCD", s"got '${r.text}'")
+  }
+
   test("Type0 with predefined CID CMap and no ToUnicode: distinct countable error") {
     val objs = baseObjs.map {
       case (5, _) => 5 -> ("<< /Type /Font /Subtype /Type0 /BaseFont /STSong-Light " +
