@@ -233,6 +233,13 @@ object SparkEntry {
         .unionByName(Similarity.recallVs(truth, Similarity.ivfTopK(emb, q, 10, dim), "ivf"))
         .orderBy("method")
     }),
+    // skew observability for the s3 bucket cap: dropped buckets/rows are
+    // a queryable number, never a silent truncation
+    "s6_lsh_bucket_stats" -> ((s, dir) => {
+      val emb = embWithDups(s, dir)
+      val dim = emb.select(size(col("embedding"))).first().getInt(0)
+      Similarity.lshBucketStats(emb, dim)
+    }),
     "s3_cosine_neardups" -> ((s, dir) => {
       val emb = embWithDups(s, dir)
       val dim = emb.select(size(col("embedding"))).first().getInt(0)

@@ -69,7 +69,7 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         est.as("est_jaccard"))
       // pairs sharing >1 band dedup here; est is identical per pair
-      .groupBy("doc_a", "doc_b").agg(first(col("est_jaccard")).as("est_jaccard"))
+      .groupBy("doc_a", "doc_b").agg(min(col("est_jaccard")).as("est_jaccard")) // values identical per pair; min is retry-deterministic
       .filter(col("est_jaccard") >= minEstJaccard)
       .orderBy(col("doc_a"), col("doc_b"))
   }

@@ -241,9 +241,25 @@ object Similarity {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         cosine(col("a.embedding"), col("b.embedding")).as("cos"))
       .filter(col("cos") >= minCos)
-      .groupBy("vec_a", "vec_b").agg(first(col("cos")).as("cos")) // cross-table dedup
+      .groupBy("vec_a", "vec_b").agg(min(col("cos")).as("cos")) // cross-table dedup (identical values; min is retry-deterministic)
       .orderBy(col("vec_a"), col("vec_b"))
   }
+
+  /** Per-table LSH bucket statistics — the observability companion to
+    * `cosineNearDups`'s `maxBucket` skew guard: how many buckets (and
+    * corpus rows) the cap would drop is never silent, it's a queryable
+    * number (the no-silent-caps rule).
+    */
+  def lshBucketStats(corpus: DataFrame, dim: Int, planes: Int = 16,
+                     tables: Int = 4, maxBucket: Int = 2000): DataFrame =
+    corpus.select(explode(lshKeys(col("embedding"), dim, planes, tables)).as("bk"))
+      .select(col("bk.tbl").as("tbl"), col("bk.key").as("key"))
+      .groupBy("tbl", "key").agg(count(lit(1)).as("n"))
+      .groupBy("tbl")
+      .agg(count(lit(1)).as("n_buckets"), max("n").as("max_bucket"),
+        sum(when(col("n") > maxBucket, 1L).otherwise(0L)).as("n_dropped_buckets"),
+        sum(when(col("n") > maxBucket, col("n")).otherwise(lit(0L))).as("n_dropped_rows"))
+      .orderBy("tbl")
 
   /** Recall@k of `method` against `truth` (both (query_id, vec_id)
     * top-k tables): |method ∩ truth| / |truth|, as a 1-row DataFrame.
