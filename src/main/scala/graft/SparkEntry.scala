@@ -344,9 +344,8 @@ object SparkEntry {
           "blocked AS (SELECT doc_id, md5(substr(text,1,64)) AS blk FROM docs), " +
           "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b " +
           "FROM blocked a JOIN blocked b USING (blk) WHERE a.doc_id < b.doc_id), " +
-          // trailing-'' trim mirrors JVM split-semantics (drops trailing empties)
-          "words AS (SELECT doc_id, CASE WHEN len(w0) > 0 AND w0[-1] = '' " +
-          "THEN w0[:len(w0)-1] ELSE w0 END AS w FROM " +
+          // both sides drop ALL empty tokens (whitespace-padding-invariant)
+          "words AS (SELECT doc_id, list_filter(w0, x -> x <> '') AS w FROM " +
           "(SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w0 FROM docs)), " +
           "grams AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') " +
           "for i in range(1, greatest(len(w)-3, 0) + 2)]) AS gs FROM words) " +

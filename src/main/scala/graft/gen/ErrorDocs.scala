@@ -16,7 +16,10 @@ object ErrorDocs {
       2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
       3 -> ("<< /Type /Page /Parent 2 0 R /Resources " +
         "<< /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"),
-      4 -> "<< /Length 44 >>\nstream\nBT /F1 12 Tf 72 720 Td (Hello World) Tj ET\nendstream",
+      4 -> {
+        val content = "BT /F1 12 Tf 72 720 Td (Hello World) Tj ET"
+        s"<< /Length ${content.length} >>\nstream\n$content\nendstream"
+      },
       5 -> font,
       6 -> "<< /Type /CIDFontType0 /BaseFont /STSong-Light >>")
     val sb = new StringBuilder("%PDF-1.7\n")

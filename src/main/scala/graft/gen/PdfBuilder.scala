@@ -37,7 +37,7 @@ object PdfBuilder {
       indirectLength: Boolean,
       /** AFM axis: split lines into two Td-positioned shows whose gap is
         * only decodable with real Core-14 widths (no /Widths in the font
-        * dict). Applies when showKind=0, posKind=0, fontKind∈{0,4}.
+        * dict). Applies when showKind=0, posKind∈{0,1}, fontKind∈{0,4}.
         */
       splitShow: Boolean = false)
 
@@ -777,9 +777,14 @@ object PdfBuilder {
           ((words.take(k) :+ words(k).substring(0, cut)).mkString(" "),
             (words(k).substring(cut) +: words.drop(k + 1)).mkString(" "), 0.02)
         }
+      val dx = advancePts(s1) + gapEm * FS
       ops.append(enc.showString(s1, rng)).append(" Tj\n")
-      ops.append(s"${d1(advancePts(s1) + gapEm * FS)} 0 Td\n")
+      ops.append(s"${d1(dx)} 0 Td\n")
       ops.append(enc.showString(s2, rng)).append(" Tj\n")
+      // restore the line origin so subsequent relative Td lines don't
+      // inherit a cumulatively growing x offset (extraction-neutral:
+      // a same-line negative gap emits nothing)
+      ops.append(s"${d1(-dx)} 0 Td\n")
     }
 
     /** Position to the next line and show it. dy = 0 for page's first line. */

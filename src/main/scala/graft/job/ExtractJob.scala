@@ -164,8 +164,8 @@ object ExtractJob {
       try {
         Tables.writeBucketed(extracted.toDF(), cfg.outputPath)
 
-        // A1 metrics from the in-plan wave dataset (cached blocks)
-        val prev = prevDone.as[Int].collect().toSet
+        // A1 metrics from the in-plan wave dataset (cached blocks);
+        // prevDone buckets are already anti-joined out inside plan()
         val now = System.currentTimeMillis()
         val stats = extracted.toDF()
           .groupBy("bucket")
@@ -175,7 +175,6 @@ object ExtractJob {
             sum(col("bytesIn")).as("bytesIn"),
             sum(col("charCount")).as("charsOut"))
           .collect()
-          .filter(r => !prev.contains(r.getInt(0)))
         val rows = stats.map { r =>
           PartitionLineage(cfg.runId, r.getInt(0), "done", r.getLong(1), r.getLong(2),
             r.getLong(3), r.getLong(4), r.getLong(5), now, System.currentTimeMillis(), attempt)

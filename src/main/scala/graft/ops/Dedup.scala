@@ -145,9 +145,13 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Distinct word n-grams as an array column. */
+  /** Distinct word n-grams as an array column. Empty tokens from
+    * leading/trailing whitespace are dropped (Spark's split keeps them
+    * — limit = -1 — unlike plain Java split), so gram sets are
+    * whitespace-padding-invariant and match the DuckDB oracle.
+    */
   def ngramCol(text: Column, n: Int): Column = {
-    val words = split(text, "\\s+")
+    val words = filter(split(text, "\\s+"), w => length(w) > 0)
     array_distinct(transform(
       sequence(lit(0), greatest(size(words) - n, lit(0))),
       i => concat_ws(" ", slice(words, i + 1, lit(n)))))

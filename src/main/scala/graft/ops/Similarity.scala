@@ -97,21 +97,25 @@ object Similarity {
     array((0 until tables).map(t =>
       struct(lit(t).as("tbl"), lshKey(emb, dim, planes, t).as("key"))): _*)
 
-  /** Query-side multi-probe keys: the base bucket of each table plus,
-    * for probes=1, every single-bit flip of it (the b next-likeliest
-    * buckets — Lv et al., multi-probe LSH). Probing is PURE QUERY-SIDE
-    * work: the corpus bucket layout is untouched, so at deploy scale
-    * probing costs extra broadcast rows, never another corpus pass.
+  /** Query-side multi-probe keys: the base bucket of each table plus
+    * every bucket within Hamming distance `probes` of it (the
+    * next-likeliest buckets — Lv et al., multi-probe LSH). Probing is
+    * PURE QUERY-SIDE work: the corpus bucket layout is untouched, so at
+    * deploy scale probing costs extra broadcast rows, never another
+    * corpus pass. Probe count per table is Σ_{i≤probes} C(planes, i).
     */
   def lshProbeKeys(emb: Column, dim: Int, planes: Int, tables: Int,
-                   probes: Int): Column =
+                   probes: Int): Column = {
+    val masks: Seq[Int] =
+      (0 until (1 << planes)).filter(m => Integer.bitCount(m) <= math.max(probes, 0))
     array((0 until tables).flatMap { t =>
       val base = lshKey(emb, dim, planes, t)
-      val variants =
-        if (probes <= 0) Seq(base)
-        else base +: (0 until planes).map(p => base.bitwiseXOR(lit(1 << p)))
-      variants.map(kk => struct(lit(t).as("tbl"), kk.as("key")))
+      masks.map { m =>
+        val kk = if (m == 0) base else base.bitwiseXOR(lit(m))
+        struct(lit(t).as("tbl"), kk.as("key"))
+      }
     }: _*)
+  }
 
   /** Multi-table LSH ANN: explode per-table keys, broadcast-join the
     * query side on (tbl, key), score collisions, bounded top-k. The

@@ -21,7 +21,12 @@ final class PdfDocument(val bytes: Array[Byte],
       try {
         XrefWalk.findStartXref(bytes).map { off =>
           val r = XrefWalk.walk(bytes, off, inflater)
-          if (r.entries.isEmpty) None else Some((r.entries, r.trailer))
+          // gate on USABLE entries: every classic xref carries at least
+          // the object-0 free head, so Free-only tables (e.g. corrupt
+          // in-use rows skipped by the tolerant lexer) must still fall
+          // through to object-scan recovery
+          val usable = r.entries.exists(_._2 != Free)
+          if (!usable) None else Some((r.entries, r.trailer))
         }.flatten
       } catch { case _: Exception => None }
     viaStart.getOrElse {

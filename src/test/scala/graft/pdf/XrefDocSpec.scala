@@ -85,6 +85,17 @@ class XrefDocSpec extends AnyFunSuite {
     assert(r.text == "Hello World")
   }
 
+  test("xref with only the free head usable (corrupt in-use rows): object-scan recovery") {
+    // damage every in-use offset column so the tolerant lexer skips the
+    // rows; entries become {0 -> Free}. The Free sentinel must NOT
+    // satisfy the recovery gate — extraction must still fall through to
+    // the object scan and find the text
+    val good = new String(pdf(baseObjs), "ISO-8859-1")
+    val broken = "(?m)^\\d{10} 00000 n ".r.replaceAllIn(good, "xxxxxxxxxx 00000 n ")
+    val r = PdfExtractor.extract(broken.getBytes("ISO-8859-1"), inf)
+    assert(r.text == "Hello World", s"got '${r.text}'")
+  }
+
   test("no trailer at all: catalog discovered by scan") {
     val sb = new StringBuilder("%PDF-1.7\n")
     baseObjs.foreach { case (n, body) => sb.append(s"$n 0 obj\n$body\nendobj\n") }
