@@ -172,6 +172,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(round(col("value") * 100).cast("long")).as("value_cents"))
         .orderBy(col("event_type").asc_nulls_first, col("yr").asc_nulls_first)),
+    // set operations beyond union: INTERSECT/EXCEPT (hash-agg based,
+    // partial map-side — no sort) over the customer/order key sets
+    "q14_setops" -> ((s, dir) => {
+      val a = orders(s, dir).select(col("o_custkey").as("custkey")).distinct()
+      val b = customer(s, dir).filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("custkey")).distinct()
+      a.intersect(b).withColumn("op", lit("intersect"))
+        .unionByName(a.except(b).withColumn("op", lit("except")))
+        .orderBy("op", "custkey")
+    }),
     "q9_exact_dedup_stats" -> ((s, dir) =>
       docs(s, dir).agg(count(lit(1)).as("n_docs"),
         countDistinct(md5(col("text"))).as("n_distinct"))),
@@ -314,6 +324,13 @@ object SparkEntry {
           "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents " +
           "FROM events GROUP BY CUBE(event_type, EXTRACT(YEAR FROM ts)) " +
           "ORDER BY event_type ASC NULLS FIRST, yr ASC NULLS FIRST"),
+      "q14_setops" ->
+        ("WITH a AS (SELECT DISTINCT o_custkey AS custkey FROM orders), " +
+          "b AS (SELECT DISTINCT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000) " +
+          "SELECT custkey, 'intersect' AS op FROM (SELECT custkey FROM a INTERSECT SELECT custkey FROM b) " +
+          "UNION ALL " +
+          "SELECT custkey, 'except' AS op FROM (SELECT custkey FROM a EXCEPT SELECT custkey FROM b) " +
+          "ORDER BY op, custkey"),
       "q9_exact_dedup_stats" ->
         "SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_distinct FROM documents",
       "q10_token_stats" ->
