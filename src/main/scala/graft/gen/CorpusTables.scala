@@ -19,7 +19,11 @@ object CorpusTables {
   /** Corpus size tiers (FIXTURES.md §3). */
   val SfSmall = 500
   val SfMid = 5000
-  val SfBench = 50000
+  /** Bench-tier size: big enough that the timed extraction runs ~4 s at
+    * local[32] — at 50k (~1 s) the ±0.2 s host jitter was ±20 % of the
+    * headline docs/sec (observed 46.8k–58.1k across same-day runs).
+    */
+  val SfBench = 200000
 
   def corpusPath(dir: String, n: Int, paraScale: Int = 1): String =
     if (paraScale == 1) s"$dir/corpus_$n" else s"$dir/corpus_${n}_s$paraScale"

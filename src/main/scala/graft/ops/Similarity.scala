@@ -40,8 +40,19 @@ final class TopKAgg(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]]
   */
 object Similarity {
 
-  /** dot(a, b) over two array<float> columns. */
-  def dot(a: Column, b: Column): Column =
+  /** dot(a, b) over two array<float> columns — the codegen'd native
+    * expression (graft.functions.FloatVecDot). The composable HOF
+    * formulation is kept as `dotHof` for the equivalence test; it is
+    * CodegenFallback in Spark (interpreted + an intermediate array per
+    * row), which matters at `tables × planes` dots per corpus row.
+    */
+  def dot(a: Column, b: Column): Column = {
+    graft.functions.GraftFunctions.ensureRegistered()
+    call_function(graft.functions.GraftFunctions.DotName, a, b)
+  }
+
+  /** Reference formulation of `dot` via higher-order functions. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -80,10 +91,13 @@ object Similarity {
     Array.fill(dim)(rng.nextGaussian())
   }
 
-  /** Sign-bit sketch for one table: `planes` hyperplane signs → int key. */
+  /** Sign-bit sketch for one table: `planes` hyperplane signs → int key.
+    * Plane literals are FLOAT (the embedding element type) so the
+    * codegen'd FloatVecDot applies without an array cast.
+    */
   def lshKey(emb: Column, dim: Int, planes: Int, table: Int = 0): Column =
     (0 until planes).map { p =>
-      val plane = array(hyperplane(dim, table * planes + p).map(lit): _*)
+      val plane = array(hyperplane(dim, table * planes + p).map(v => lit(v.toFloat)): _*)
       when(dot(emb, plane) > 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 
@@ -192,7 +206,7 @@ object Similarity {
     val centroids = kmeansCentroids(corpus, dim, nCells)
 
     def cellDist(emb: Column, c: Array[Float]): Column = {
-      val cl = array(c.map(v => lit(v.toDouble)): _*)
+      val cl = array(c.map(lit(_)): _*) // float literals (matches emb element type)
       // squared L2 via dot products: |x|^2 - 2<x,c> + |c|^2
       val c2 = c.map(v => v.toDouble * v.toDouble).sum
       dot(emb, emb) - lit(2.0) * dot(emb, cl) + lit(c2)

@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+/** The custom codegen'd dot product must be value-identical to the
+  * higher-order-function formulation (float products, double
+  * accumulation) and must actually run inside WholeStageCodegen —
+  * the whole point of the §4.4 exception.
+  */
+class VecExpressionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def vecs(n: Int, dim: Int, seed: Long) = {
+    val rng = new scala.util.Random(seed)
+    val rows = (0 until n).map { i =>
+      (i.toLong, Seq.fill(dim)(rng.nextGaussian().toFloat),
+        Seq.fill(dim)(rng.nextGaussian().toFloat))
+    }
+    spark.createDataFrame(rows).toDF("id", "a", "b")
+  }
+
+  test("FloatVecDot equals the HOF formulation bit-for-bit") {
+    val df = vecs(500, 64, 7L)
+    val got = df.select(col("id"),
+        Similarity.dot(col("a"), col("b")).as("native"),
+        Similarity.dotHof(col("a"), col("b")).as("hof"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(2), s"id=${r.getLong(0)}")
+    }
+  }
+
+  test("length mismatch uses the shorter vector; empty arrays give 0") {
+    val df = spark.createDataFrame(Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f)),
+      (2L, Seq.empty[Float], Seq(1.0f))
+    )).toDF("id", "a", "b")
+    val got = df.select(col("id"), Similarity.dot(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == (1.0f * 4.0f + 2.0f * 5.0f).toDouble)
+    assert(got(2L) == 0.0)
+  }
+
+  test("null array input yields null (BinaryExpression null semantics)") {
+    val df = spark.createDataFrame(Seq(
+      (1L, Some(Seq(1.0f)), Option.empty[Seq[Float]])
+    )).toDF("id", "a", "b")
+    val row = df.select(Similarity.dot(col("a"), col("b"))).collect().head
+    assert(row.isNullAt(0))
+  }
+
+  /** Non-local input so ConvertToLocalRelation can't pre-evaluate the
+    * projection — this is the df that actually runs generated code.
+    */
+  private def rangeVecs(n: Int, dim: Int) =
+    spark.range(n).select(col("id"),
+      transform(sequence(lit(1), lit(dim)),
+        i => (i + col("id") % 7).cast("float")).as("a"),
+      transform(sequence(lit(1), lit(dim)),
+        i => (i * 2 - col("id") % 5).cast("float")).as("b"))
+
+  test("dot projection stays inside WholeStageCodegen") {
+    // parquet round-trip: a real scan, so neither ConvertToLocalRelation
+    // nor the (CodegenFallback) transform() input builders mask the result
+    val dir = java.nio.file.Files.createTempDirectory("fvdot").toString
+    rangeVecs(100, 8).write.mode("overwrite").parquet(dir)
+    val plan = spark.read.parquet(dir)
+      .select(Similarity.dot(col("a"), col("b")).as("d"))
+      .queryExecution.executedPlan
+    val wsc = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w.toString
+    }
+    assert(wsc.exists(_.contains(GraftFunctions.DotName)),
+      s"fvdot not inside a WholeStageCodegen span:\n$plan")
+  }
+
+  test("codegen path agrees with the HOF formulation on a non-local plan") {
+    val df = rangeVecs(200, 16)
+    val bad = df.select(
+        Similarity.dot(col("a"), col("b")).as("native"),
+        Similarity.dotHof(col("a"), col("b")).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(bad == 0L)
+  }
+}
