@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -18,11 +18,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * hot path's cost at corpus scale: `tables × planes` hyperplane dots
   * per corpus row.
   *
-  * Semantics match the HOF formulation on non-null elements: products
-  * in FLOAT (as `zip_with`'s float lambda), accumulated in DOUBLE, over
-  * the shorter of the two lengths. Embedding arrays are non-null by
-  * construction; null ELEMENTS are treated as 0 (the HOF version would
-  * null the whole sum — no caller feeds null elements).
+  * Semantics match the HOF formulation bit-for-bit on EQUAL-LENGTH
+  * arrays of non-null elements (every caller: embeddings and plane
+  * literals share the dimension): products in FLOAT (as `zip_with`'s
+  * float lambda), accumulated in DOUBLE. Divergences, by design:
+  * length mismatch → partial dot over the shorter length (zip_with
+  * pads the SHORTER array with nulls, so the HOF sum goes NULL), and
+  * null ELEMENTS are treated as 0 (HOF: NULL sum).
   */
 case class FloatVecDot(left: Expression, right: Expression)
   extends BinaryExpression with ExpectsInputTypes {
@@ -68,19 +70,27 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Session registration for the custom expressions (temp functions,
-  * resolved by `functions.call_function`). Idempotent; called lazily
-  * from the Column builders so every surface (Verify/Bench/tests/
-  * spark-submit) gets it without extra wiring. At deploy scale the
-  * same builder would live in a `SparkSessionExtensions` injected via
-  * `spark.sql.extensions`.
+/** Column builders for the custom expressions. Construction goes
+  * straight through the Column↔Expression bridge — no session, no
+  * registry write per call. `register` additionally exposes the
+  * function to SQL text on an EXPLICIT session (at deploy scale the
+  * same builder lives in a `SparkSessionExtensions` injected via
+  * `spark.sql.extensions`).
   */
 object GraftFunctions {
   val DotName = "graft_fvdot"
+  import org.apache.spark.sql.graft.ColumnBridge
 
-  def ensureRegistered(): Unit = {
-    val spark = SparkSession.active
+  /** Codegen'd float-vector dot product as a Column. */
+  def fvdot(a: Column, b: Column): Column =
+    ColumnBridge.column(FloatVecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Optional: expose graft_fvdot to SQL text on `spark`'s registry. */
+  def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      DotName, exprs => FloatVecDot(exprs(0), exprs(1)), "built-in")
-  }
+      DotName, { exprs =>
+        require(exprs.length == 2,
+          s"$DotName expects 2 arguments, got ${exprs.length}")
+        FloatVecDot(exprs.head, exprs(1))
+      }, "built-in")
 }

@@ -19,9 +19,10 @@ object CorpusTables {
   /** Corpus size tiers (FIXTURES.md §3). */
   val SfSmall = 500
   val SfMid = 5000
-  /** Bench-tier size: big enough that the timed extraction runs ~4 s at
-    * local[32] — at 50k (~1 s) the ±0.2 s host jitter was ±20 % of the
-    * headline docs/sec (observed 46.8k–58.1k across same-day runs).
+  /** Bench-tier size: big enough that the timed extraction runs ~2.5 s
+    * at local[32] — at 50k (~1 s) the ±0.2 s host jitter plus the
+    * ~0.4 s fixed job cost was ±20 % of the headline docs/sec
+    * (observed 46.8k–58.1k across same-day runs).
     */
   val SfBench = 200000
 

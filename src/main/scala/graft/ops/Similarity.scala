@@ -35,8 +35,9 @@ final class TopKAgg(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]]
 /** Similarity search over an embedding column (`Array[Float]`) —
   * brute-force cosine top-k as the exact baseline, multi-table
   * random-hyperplane LSH and a k-means IVF index as the 100 TB scale
-  * paths. Dot products use `aggregate(zip_with(...))` (codegen'd
-  * builtins, no row-at-a-time UDF).
+  * paths. Dot products use the codegen'd native FloatVecDot expression
+  * (higher-order functions are CodegenFallback in Spark — see
+  * graft.functions and SURVEY §4.4); no row-at-a-time UDF anywhere.
   */
 object Similarity {
 
@@ -46,10 +47,8 @@ object Similarity {
     * CodegenFallback in Spark (interpreted + an intermediate array per
     * row), which matters at `tables × planes` dots per corpus row.
     */
-  def dot(a: Column, b: Column): Column = {
-    graft.functions.GraftFunctions.ensureRegistered()
-    call_function(graft.functions.GraftFunctions.DotName, a, b)
-  }
+  def dot(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.fvdot(a, b)
 
   /** Reference formulation of `dot` via higher-order functions. */
   def dotHof(a: Column, b: Column): Column =

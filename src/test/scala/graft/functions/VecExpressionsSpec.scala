@@ -75,16 +75,33 @@ class VecExpressionsSpec extends AnyFunSuite {
   test("dot projection stays inside WholeStageCodegen") {
     // parquet round-trip: a real scan, so neither ConvertToLocalRelation
     // nor the (CodegenFallback) transform() input builders mask the result
-    val dir = java.nio.file.Files.createTempDirectory("fvdot").toString
-    rangeVecs(100, 8).write.mode("overwrite").parquet(dir)
-    val plan = spark.read.parquet(dir)
-      .select(Similarity.dot(col("a"), col("b")).as("d"))
-      .queryExecution.executedPlan
-    val wsc = plan.collect {
-      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w.toString
+    val dirPath = java.nio.file.Files.createTempDirectory("fvdot")
+    try {
+      val dir = dirPath.toString
+      rangeVecs(100, 8).write.mode("overwrite").parquet(dir)
+      val plan = spark.read.parquet(dir)
+        .select(Similarity.dot(col("a"), col("b")).as("d"))
+        .queryExecution.executedPlan
+      val wsc = plan.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w.toString
+      }
+      assert(wsc.exists(_.contains(GraftFunctions.DotName)),
+        s"fvdot not inside a WholeStageCodegen span:\n$plan")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
-    assert(wsc.exists(_.contains(GraftFunctions.DotName)),
-      s"fvdot not inside a WholeStageCodegen span:\n$plan")
+  }
+
+  test("SQL registration: graft_fvdot callable from SQL text, arity-checked") {
+    GraftFunctions.register(spark)
+    val rows = spark.sql(
+      "SELECT graft_fvdot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d").collect()
+    assert(rows.head.getDouble(0) == 11.0)
+    val e = intercept[Exception] { spark.sql("SELECT graft_fvdot(array(CAST(1.0 AS FLOAT)))").collect() }
+    assert(e.getMessage.contains("expects 2 arguments"))
   }
 
   test("codegen path agrees with the HOF formulation on a non-local plan") {
