@@ -22,7 +22,12 @@ object HtmlBuilder {
       mainKind: Int, // 0 article>p | 1 bare div>p | 2 p with <br> + inline b/a
       traps: Int, // bitmask: 1 unclosed p/li · 2 script markup · 4 comments · 8 CDATA
       titlePresent: Boolean,
-      listBlock: Boolean) // a <ul><li> run of long items inside main
+      listBlock: Boolean, // a <ul><li> run of long items inside main
+      /** r2 axis: a `<pre>` code block inside main — internal newlines,
+        * runs of spaces and indentation must survive VERBATIM (modulo
+        * the dropped leading newline), unlike every other block.
+        */
+      preBlock: Boolean = false)
 
   final case class Built(bytes: Array[Byte], text: String, spans: Vector[Span],
                          wetText: String)
@@ -35,7 +40,8 @@ object HtmlBuilder {
       mainKind = (i / 9) % 3,
       traps = rng.nextInt(16),
       titlePresent = rng.nextInt(5) != 0,
-      listBlock = rng.nextInt(3) == 0)
+      listBlock = rng.nextInt(3) == 0,
+      preBlock = (i / 27) % 2 == 1)
   }
 
   /** Reverse named-entity map for 1-char values. */
@@ -206,6 +212,18 @@ object HtmlBuilder {
           captionDone = true
         }
       }
+    }
+
+    // <pre> code block: whitespace-verbatim extraction (App. A pre rule)
+    if (spec.preBlock) {
+      val preText = Vector(
+        s"def ${words(1).takeWhile(_ != ' ')}(x):",
+        "    return x + 1   # two-space  runs   kept",
+        "",
+        s"value   =  ${words(1)}").mkString("\n")
+      h.append("<pre>\n").append(ser(preText, spec, rng)).append("</pre>\n")
+      kept += ((preText, "pre"))
+      wet.append(preText.replace('\n', ' ')).append(' ')
     }
 
     // long-item list inside main (li implied-end exercise, all core-kept)

@@ -56,17 +56,37 @@ object HtmlExtractor {
   private val MaxLinkDensity = 0.33
   private val MinBlockLen = 25
 
-  private final class BlockBuilder(val tag: String, val forcedKeep: Boolean) {
+  private final class BlockBuilder(val tag: String, val forcedKeep: Boolean,
+                                   val preserve: Boolean = false) {
     val sb = new java.lang.StringBuilder
     var nw = 0
     var linkNw = 0
 
-    /** Append text with whitespace collapsing; count non-ws chars. */
+    /** Append text. Default: whitespace collapsing. `preserve` (inside
+      * `<pre>`): whitespace verbatim, except CRLF/CR normalize to LF
+      * and the single newline immediately after the open tag is dropped
+      * (WHATWG §13.2 pre rule). Non-ws chars counted either way.
+      */
     def append(s: String, inLink: Boolean): Unit = {
       var i = 0
       while (i < s.length) {
         val c = s.charAt(i)
-        if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f') {
+        if (preserve) {
+          if (c == '\r') {
+            // CRLF: skip (the LF appends next); lone CR: normalize to LF
+            // (dropped when leading, like LF)
+            if (!(i + 1 < s.length && s.charAt(i + 1) == '\n') && sb.length > 0)
+              sb.append('\n')
+          } else if (c == '\n' && sb.length == 0) {
+            () // leading newline after <pre> dropped
+          } else {
+            sb.append(c)
+            if (!(c == ' ' || c == '\t' || c == '\n' || c == '\f')) {
+              nw += 1
+              if (inLink) linkNw += 1
+            }
+          }
+        } else if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f') {
           val n = sb.length
           if (n > 0 && sb.charAt(n - 1) != ' ' && sb.charAt(n - 1) != '\n') sb.append(' ')
         } else {
@@ -108,7 +128,7 @@ object HtmlExtractor {
 
     def openBlock(tag: String): Unit = {
       closeBlock()
-      cur = new BlockBuilder(tag, forcedKeep = tag == "h1")
+      cur = new BlockBuilder(tag, forcedKeep = tag == "h1", preserve = tag == "pre")
     }
 
     def walk(e: Elem): Unit = {

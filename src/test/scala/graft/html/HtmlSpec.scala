@@ -92,6 +92,16 @@ class HtmlSpec extends AnyFunSuite {
     assert(extract(html) == "Hi\n\ncontent paragraph long enough to keep around here")
   }
 
+  test("pre blocks: whitespace verbatim, leading newline dropped, CRLF normalized") {
+    val html = "<body><p>intro paragraph long enough to be kept here fine</p>" +
+      "<pre>\ndef f(x):\r\n    return x  +  1\n\nend   here</pre>" +
+      "<p>outro paragraph long enough to be kept here too</p></body>"
+    assert(extract(html) ==
+      "intro paragraph long enough to be kept here fine\n\n" +
+        "def f(x):\n    return x  +  1\n\nend   here\n\n" +
+        "outro paragraph long enough to be kept here too")
+  }
+
   test("spans: title + block indices") {
     val r = HtmlExtractor.extractFromString(
       "<html><head><title>T</title></head><body><h1>Head</h1>" +
