@@ -67,6 +67,18 @@ object ExtractStream {
       }
   }
 
+  /** Per-microbatch operational metrics via `observe()`: doc/error/char
+    * counts surface in every `StreamingQueryProgress.observedMetrics`
+    * under "extract_metrics" — the streaming analogue of the batch
+    * job's per-bucket lineage metrics (errors countable per batch, no
+    * second pass, no extra action).
+    */
+  def withObservedMetrics(ds: Dataset[StreamExtracted]): Dataset[StreamExtracted] =
+    ds.observe("extract_metrics",
+      count(lit(1)).as("nDocs"),
+      sum(when(col("error").isNotNull, 1L).otherwise(0L)).as("nErr"),
+      sum(col("charCount")).as("charsOut"))
+
   /** End-to-end stream: watch `inDir` for new corpus parquet, extract,
     * append to a bucket-partitioned parquet sink with checkpointing.
     */
@@ -75,7 +87,7 @@ object ExtractStream {
     val pages = spark.readStream
       .schema("url string, warc_ts timestamp, html binary, text string, lang string")
       .parquet(inDir)
-    transform(spark, pages, spec)
+    withObservedMetrics(transform(spark, pages, spec))
       .writeStream
       .format("parquet")
       .option("checkpointLocation", checkpointDir)

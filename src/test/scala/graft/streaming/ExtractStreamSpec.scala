@@ -66,5 +66,11 @@ class ExtractStreamSpec extends AnyFunSuite {
     assert(out.count() == 30)
     assert(out.filter(col("error").isNotNull).count() == 0)
     assert(out.columns.contains("bucket"))
+    // observe(): per-batch operational metrics rode the query progress
+    val observed = q.recentProgress.flatMap(p =>
+      Option(p.observedMetrics.get("extract_metrics")))
+    assert(observed.nonEmpty, "no observed metrics in query progress")
+    assert(observed.map(_.getLong(0)).sum == 30L) // nDocs
+    assert(observed.map(_.getLong(1)).sum == 0L)  // nErr
   }
 }
