@@ -59,14 +59,23 @@ object Bench {
       val sec = try time(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 }
       name -> sec
     }
-    val extractSec = math.min(time(extractOnce()), time(extractOnce()))
+    // host noise on this box is bursty and one-sided (BENCH/BASELINE.md):
+    // r2's driver window saw an 8.94 s extraction leg where the warm truth
+    // was 2.81 s. So: 3 timed reps, publish every rep time, and if the
+    // spread exceeds 2x (a noise burst by construction — the corpus and
+    // JIT are warm), take 2 more reps before minimizing (VERDICT r2 #1).
+    var extractReps = Vector.fill(3)(time(extractOnce()))
+    if (extractReps.max / extractReps.min > 2.0)
+      extractReps ++= Vector.fill(2)(time(extractOnce()))
+    val extractSec = extractReps.min
     val docsPerSec = benchN / extractSec
 
     val qs = (results :+ ("extract_bench" -> extractSec))
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val repsJson = extractReps.map(v => f"$v%.3f").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum + extractSec
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"docs_per_sec":$docsPerSec%.1f,"bench_docs":$benchN,"cpus":$cpus,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"docs_per_sec":$docsPerSec%.1f,"extract_reps":$repsJson,"bench_docs":$benchN,"cpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -18,8 +18,15 @@ final case class Scored(cos: Double, vecId: Long)
   * colliding table); order: cos desc, vecId asc (deterministic ties).
   */
 final class TopKAgg(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
-  private def better(a: Scored, b: Scored): Boolean =
-    a.cos > b.cos || (a.cos == b.cos && a.vecId < b.vecId)
+  // java.lang.Double.compare gives a TOTAL order (NaN == NaN, -0 < 0):
+  // raw `>` on doubles violates the strict weak ordering under NaN,
+  // which would make top-k contents partitioning-dependent (ADVICE r2).
+  // Callers additionally filter non-finite scores before aggregation —
+  // the NaN policy is "excluded from ranking", not "ranked somewhere".
+  private def better(a: Scored, b: Scored): Boolean = {
+    val c = java.lang.Double.compare(a.cos, b.cos)
+    c > 0 || (c == 0 && a.vecId < b.vecId)
+  }
   private def trim(xs: Seq[Scored]): Seq[Scored] =
     xs.sortWith(better).distinctBy(_.vecId).take(k)
   override def zero: Seq[Scored] = Vector.empty
@@ -40,6 +47,16 @@ final class TopKAgg(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]]
   * graft.functions and SURVEY §4.4); no row-at-a-time UDF anywhere.
   */
 object Similarity {
+
+  /** Near-dup LSH configuration shared by `cosineNearDups` and its
+    * observability companion `lshBucketStats` — ONE set of named
+    * constants so the dropped-bucket stats always describe the exact
+    * configuration doing the dropping (ADVICE r2: independent default
+    * literals drift silently).
+    */
+  val NearDupPlanes = 16
+  val NearDupTables = 4
+  val NearDupMaxBucket = 2000
 
   /** dot(a, b) over two array<float> columns — the codegen'd native
     * expression (graft.functions.FloatVecDot). The composable HOF
@@ -64,7 +81,12 @@ object Similarity {
     */
   def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new TopKAgg(k), Encoders.product[Scored])
-    scored.groupBy("query_id")
+    // NaN/Inf cos (embeddings containing NaN/Inf survive the 1e-12
+    // divide-by-zero guard) are excluded from ranking outright
+    val finite = scored.filter(!isnan(col("cos")) &&
+      col("cos") =!= lit(Double.PositiveInfinity) &&
+      col("cos") =!= lit(Double.NegativeInfinity))
+    finite.groupBy("query_id")
       .agg(topk(col("cos"), col("vec_id")).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
       .select(col("query_id"), col("s.vecId").as("vec_id"), col("s.cos").as("cos"),
@@ -246,13 +268,20 @@ object Similarity {
     * agree on every table, so the drop only risks borderline pairs.
     */
   def cosineNearDups(corpus: DataFrame, dim: Int, minCos: Double = 0.95,
-                     planes: Int = 16, tables: Int = 4,
-                     maxBucket: Int = 2000): DataFrame = {
+                     planes: Int = NearDupPlanes, tables: Int = NearDupTables,
+                     maxBucket: Int = NearDupMaxBucket): DataFrame = {
     val cb = corpus.select(col("vec_id"), col("embedding"),
       explode(lshKeys(col("embedding"), dim, planes, tables)).as("bk"))
       .select(col("vec_id"), col("embedding"), col("bk.tbl").as("tbl"), col("bk.key").as("key"))
-    val sizes = cb.groupBy("tbl", "key").agg(count(lit(1)).as("bucket_n"))
-    val bounded = cb.join(sizes.filter(col("bucket_n") <= maxBucket), Seq("tbl", "key"))
+    // skew guard: the over-cap key list is TINY (≤ tables × corpus/maxBucket
+    // rows), so broadcast it and anti-join — the wide (vec_id, embedding)
+    // relation never shuffles for the guard. Joining the sizes aggregate
+    // back onto cb (r2) dragged the embeddings through a second exchange
+    // (VERDICT r2 "what's wrong" #2).
+    val overCap = cb.groupBy("tbl", "key").agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+      .select("tbl", "key")
+    val bounded = cb.join(broadcast(overCap), Seq("tbl", "key"), "left_anti")
     bounded.as("a").join(bounded.as("b"), Seq("tbl", "key"))
       .filter(col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
@@ -267,8 +296,9 @@ object Similarity {
     * corpus rows) the cap would drop is never silent, it's a queryable
     * number (the no-silent-caps rule).
     */
-  def lshBucketStats(corpus: DataFrame, dim: Int, planes: Int = 16,
-                     tables: Int = 4, maxBucket: Int = 2000): DataFrame =
+  def lshBucketStats(corpus: DataFrame, dim: Int, planes: Int = NearDupPlanes,
+                     tables: Int = NearDupTables,
+                     maxBucket: Int = NearDupMaxBucket): DataFrame =
     corpus.select(explode(lshKeys(col("embedding"), dim, planes, tables)).as("bk"))
       .select(col("bk.tbl").as("tbl"), col("bk.key").as("key"))
       .groupBy("tbl", "key").agg(count(lit(1)).as("n"))

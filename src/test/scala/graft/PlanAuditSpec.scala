@@ -75,6 +75,22 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("s3: skew guard anti-joins a broadcast key list; self-join reuses one exchange") {
+    // AQE folds exchange reuse into runtime stages; disable it here so the
+    // static physical plan shows the ReuseExchange rule's work directly
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan("s3_cosine_neardups")
+      // over-cap keys join back as a broadcast LeftAnti (r2 joined the
+      // sizes aggregate onto the wide exploded relation = extra shuffle)
+      assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+        s"skew guard is not a broadcast anti-join:\n$p")
+      // the two identical self-join sides shuffle the wide embedding rows
+      // through ONE reused exchange, not two
+      assert(p.contains("ReusedExchange"), s"self-join sides not reused:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("s1: ANN brute force broadcasts the query side only") {
     val p = plan("s1_ann_brute")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)

@@ -72,6 +72,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.toSeq == Seq(10L, 11L, 12L))
   }
 
+  test("topKPerQuery excludes non-finite scores and stays deterministic") {
+    val scored = spark.createDataFrame(Seq(
+      (1L, 10L, 0.9), (1L, 11L, Double.NaN), (1L, 12L, 0.7),
+      (1L, 13L, Double.PositiveInfinity), (1L, 14L, 0.8)
+    )).toDF("query_id", "vec_id", "cos")
+    // repartition shuffles rows into different groupings across runs;
+    // NaN under a raw `>` comparator made contents partition-dependent
+    val got = Similarity.topKPerQuery(scored.repartition(4), 3)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(10L, 14L, 12L), got.toSeq)
+  }
+
   test("LSH recall@10 >= 0.9 on a clustered corpus") {
     val corpus = clustered(20, 50, 0.15)
     val queries = corpus.filter(col("vec_id") % 100 === 0).limit(5)
