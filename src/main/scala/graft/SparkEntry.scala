@@ -354,9 +354,12 @@ object SparkEntry {
       // hand-computed expected taxonomy (the planted defects are fixed)
       "x6_error_taxonomy" ->
         ("SELECT * FROM (VALUES " +
-          "('err://cjk-cmap', 'error', 'unsupported-cmap:UniGB-UCS2-H'), " +
+          "('err://cjk-cmap', 'error', 'unsupported-cmap:GBK-EUC-H'), " +
+          "('err://ok-cjk-ucs2', 'pdf', 'ok'), " +
           "('err://empty', 'html', 'ok'), " +
           "('err://encrypted', 'error', 'encrypted'), " +
+          "('err://encrypted-password', 'error', 'encrypted:password'), " +
+          "('err://encrypted-unsupported', 'error', 'encrypted:unsupported'), " +
           "('err://ok-html', 'html', 'ok'), " +
           "('err://ok-pdf', 'pdf', 'ok'), " +
           "('err://pdf-junk', 'error', 'no xref and no objects found'), " +

@@ -76,19 +76,30 @@ object CorpusGen {
     */
   def pdfSpec(docId: Long, lang: String, rng: Random): PdfBuilder.Spec = {
     val i = (docId / 3).toInt // dense index over PDF docs
+    // zh needs Type0: alternate Identity-H+ToUnicode (3) and the
+    // predefined UniGB-UCS2-H CMap with NO ToUnicode (6)
+    val fontKind = if (lang == "zh") (if ((i / 2) % 2 == 0) 3 else 6) else i % 6
     PdfBuilder.Spec(
       xrefKind = i % 5,
       filterKind = (i / 5) % 7,
       showKind = (i / 35) % 3,
       posKind = (i / 105) % 3,
-      fontKind = if (lang == "zh") 3 else i % 6, // zh needs Type0
+      fontKind = fontKind,
       nPages = if (i % 7 == 4) 3 else 1,
       formXObject = rng.nextInt(4) == 0,
       inlineImage = rng.nextInt(4) == 0,
       markedContent = rng.nextInt(3) == 0,
       junkAfterEof = rng.nextInt(5) == 0,
       indirectLength = rng.nextInt(4) == 0,
-      splitShow = i % 2 == 0) // fires when the showKind/posKind/fontKind gates align
+      splitShow = i % 2 == 0, // fires when the showKind/posKind/fontKind gates align
+      // ~25% of non-Type0 PDFs ship encrypted with an empty user
+      // password, cycling RC4-40 / RC4-128 / AES-128 (crawl-realistic
+      // owner-locked docs; Type0 docs keep their CIDSystemInfo strings
+      // plaintext so the whole file stays spec-honest unencrypted)
+      // cycle divisor 8 (not 4): a /4 cycle aligns mod 12 with the
+      // fontKind==3 gate and would never emit AES on non-zh docs
+      encryptKind = if (fontKind == 3 || fontKind == 6) 0
+        else if (i % 4 == 1) 1 + ((i / 8) % 3) else 0)
   }
 
   /** WET-style flattened text: expected text with newlines as spaces —

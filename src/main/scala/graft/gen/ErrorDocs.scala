@@ -10,18 +10,21 @@ object ErrorDocs {
   private def latin1(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
 
   /** Minimal valid PDF around `extraObjs` (object 5 is the /F1 font). */
-  private def pdf(font: String, trailerExtra: String = ""): Array[Byte] = {
+  private def pdf(font: String, trailerExtra: String = "",
+                  extraObjs: Seq[(Int, String)] = Nil,
+                  show: String = "(Hello World) Tj"): Array[Byte] = {
     val objs = Seq(
       1 -> "<< /Type /Catalog /Pages 2 0 R >>",
       2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
       3 -> ("<< /Type /Page /Parent 2 0 R /Resources " +
         "<< /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"),
       4 -> {
-        val content = "BT /F1 12 Tf 72 720 Td (Hello World) Tj ET"
+        val content = s"BT /F1 12 Tf 72 720 Td $show ET"
         s"<< /Length ${content.length} >>\nstream\n$content\nendstream"
       },
       5 -> font,
-      6 -> "<< /Type /CIDFontType0 /BaseFont /STSong-Light >>")
+      6 -> "<< /Type /CIDFontType0 /BaseFont /STSong-Light >>") ++ extraObjs
+    val maxNum = objs.map(_._1).max
     val sb = new StringBuilder("%PDF-1.7\n")
     val offsets = scala.collection.mutable.Map.empty[Int, Int]
     objs.foreach { case (n, body) =>
@@ -29,27 +32,50 @@ object ErrorDocs {
       sb.append(s"$n 0 obj\n$body\nendobj\n")
     }
     val xref = sb.length
-    sb.append("xref\n0 7\n")
-    (0 to 6).foreach { n =>
+    sb.append(s"xref\n0 ${maxNum + 1}\n")
+    (0 to maxNum).foreach { n =>
       if (n == 0) sb.append(f"${0}%010d 65535 f \n")
       else sb.append(f"${offsets(n)}%010d 00000 n \n")
     }
-    sb.append(s"trailer\n<< /Size 7 /Root 1 0 R$trailerExtra >>\nstartxref\n$xref\n%%EOF\n")
+    sb.append(s"trailer\n<< /Size ${maxNum + 1} /Root 1 0 R$trailerExtra >>\nstartxref\n$xref\n%%EOF\n")
     latin1(sb.toString)
   }
 
   private val helvetica =
     "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>"
+  /** Byte-oriented predefined CMap (GBK bytes → CID): needs the real
+    * Adobe ordering tables, so it stays a typed error — unlike the
+    * Uni*-UCS2/UTF16 family whose codes ARE Unicode (see ok-cjk-ucs2).
+    */
   private val cjkNoToUnicode =
     "<< /Type /Font /Subtype /Type0 /BaseFont /STSong-Light " +
+      "/Encoding /GBK-EUC-H /DescendantFonts [6 0 R] >>"
+  private val cjkUcs2 =
+    "<< /Type /Font /Subtype /Type0 /BaseFont /STSong-Light " +
       "/Encoding /UniGB-UCS2-H /DescendantFonts [6 0 R] >>"
+
+  /** /Encrypt dict with a /U that matches NO password (all-zero O/U):
+    * decryptable-looking structure, wrong credentials → the empty-user-
+    * password attempt must fail TYPED, not garble text.
+    */
+  private val zeros64 = "0" * 64
+  private val encPassword =
+    s"<< /Filter /Standard /V 2 /R 3 /Length 128 /O <$zeros64> /U <$zeros64> /P -44 >>"
+  private val encUnsupported =
+    s"<< /Filter /Standard /V 5 /R 6 /Length 256 /O <$zeros64> /U <$zeros64> /P -44 >>"
 
   /** (url, payload) rows covering the error taxonomy + healthy rows. */
   def docs(): Seq[(String, Array[Byte])] = Seq(
     ("err://ok-pdf", pdf(helvetica)),
     ("err://ok-html", latin1("<html><head><title>T</title></head><body><p>Fine paragraph content here.</p></body></html>")),
     ("err://encrypted", pdf(helvetica, trailerExtra = " /Encrypt 9 0 R")),
+    ("err://encrypted-password",
+      pdf(helvetica, trailerExtra = " /Encrypt 7 0 R", extraObjs = Seq(7 -> encPassword))),
+    ("err://encrypted-unsupported",
+      pdf(helvetica, trailerExtra = " /Encrypt 7 0 R", extraObjs = Seq(7 -> encUnsupported))),
     ("err://cjk-cmap", pdf(cjkNoToUnicode)),
+    // UTF-16BE hex codes for 漢字文本 — decodes via the CMap name alone
+    ("err://ok-cjk-ucs2", pdf(cjkUcs2, show = "<6F225B576587672C> Tj")),
     ("err://pdf-junk", latin1("%PDF-1.7\njust junk, no objects at all")),
     // 30 bytes cuts inside the catalog dict: recovery finds the object
     // header but no /Root -> hard error (at 80 bytes the object scan

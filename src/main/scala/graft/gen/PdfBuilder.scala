@@ -28,7 +28,7 @@ object PdfBuilder {
       filterKind: Int, // 0 none | 1 flate | 2 ahx | 3 a85 | 4 a85+flate chain | 5 rle | 6 lzw
       showKind: Int, // 0 Tj | 1 TJ kerning | 2 '/" forms
       posKind: Int, // 0 Td | 1 Tm | 2 T*+TL
-      fontKind: Int, // 0 WinAnsi | 1 Differences | 2 ToUnicode bfchar | 3 Type0 Identity-H | 4 MacRoman | 5 Type3
+      fontKind: Int, // 0 WinAnsi | 1 Differences | 2 ToUnicode bfchar | 3 Type0 Identity-H | 4 MacRoman | 5 Type3 | 6 Type0 UniGB-UCS2-H (UTF-16BE codes, NO ToUnicode)
       nPages: Int, // 1 | 3 (intermediate /Pages node when 3)
       formXObject: Boolean,
       inlineImage: Boolean,
@@ -39,7 +39,14 @@ object PdfBuilder {
         * only decodable with real Core-14 widths (no /Widths in the font
         * dict). Applies when showKind=0, posKind∈{0,1}, fontKind∈{0,4}.
         */
-      splitShow: Boolean = false)
+      splitShow: Boolean = false,
+      /** Standard security handler, EMPTY user password (ISO 32000-1
+        * §7.6.3): 0 none | 1 RC4-40 /V1 /R2 | 2 RC4-128 /V2 /R3 |
+        * 3 AES-128 /V4 /R4 /AESV2. Gated off for Type0 font kinds by
+        * the corpus generator (their CIDSystemInfo carries top-level
+        * strings we deliberately keep plaintext-free under encryption).
+        */
+      encryptKind: Int = 0)
 
   private val FS = 12.0 // font size
   private val LineDy = 14.4 // 1.2 em -> single \n (App. A: 0.5 < 1.2 < 1.8)
@@ -84,6 +91,42 @@ object PdfBuilder {
     }
     def addUpdate(num: Int, body: String): Unit = updates += ((num, latin1(body)))
     def maxNum: Int = next - 1
+
+    // --- standard security handler state (Spec.encryptKind > 0) -----
+    var crypt: Option[graft.pdf.Crypt.StdDecryptor] = None
+    var cryptRng: Random = null
+    /** ` /Encrypt N 0 R /ID [...]` — appended to every trailer flavor. */
+    var trailerExtra: String = ""
+
+    /** Encrypt stream/string data under object `num`'s key (AES IVs come
+      * from the deterministic doc rng). Identity when not encrypting.
+      */
+    def enc(num: Int, data: Array[Byte]): Array[Byte] = crypt match {
+      case Some(c) =>
+        val iv = if (c.aes) Array.fill(16)(cryptRng.nextInt(256).toByte) else null
+        c.encrypt(num, 0, data, iv)
+      case None => data
+    }
+
+    /** Add a stream object; data is encrypted (keyed by the allocated
+      * object number) before /Length is computed. `dictPrefix` is the
+      * dict body without the surrounding << >> or /Length.
+      */
+    def addStream(dictPrefix: String, data: Array[Byte],
+                  indirectLen: Boolean = false): Int = {
+      val n = alloc()
+      val ed = enc(n, data)
+      if (indirectLen) {
+        val lenNum = alloc()
+        objs += Obj(n, latin1(s"<< $dictPrefix/Length $lenNum 0 R >>\nstream\n") ++
+          ed ++ latin1("\nendstream"), packable = false)
+        addAt(lenNum, ed.length.toString, packable = true)
+      } else {
+        objs += Obj(n, latin1(s"<< $dictPrefix/Length ${ed.length} >>\nstream\n") ++
+          ed ++ latin1("\nendstream"), packable = false)
+      }
+      n
+    }
 
     /** Serialize with the requested xref flavor. */
     def finish(xrefKind: Int, junk: Boolean, rng: Random): Array[Byte] = {
@@ -135,7 +178,7 @@ object PdfBuilder {
           val classicOff = out.size().toLong
           val classicNums = 0 +: objs.filter(_.packable).map(_.num).toSeq
           writeClassicXref(out, offsets.toMap, classicNums,
-            s"trailer\n<< /Size ${maxNum + 1} /Root 1 0 R /XRefStm $xoff >>\n")
+            s"trailer\n<< /Size ${maxNum + 1} /Root 1 0 R /XRefStm $xoff$trailerExtra >>\n")
           w(s"startxref\n$classicOff\n%%EOF\n")
         case 3 =>
           // pack packable objects into an ObjStm; streams stay top-level
@@ -154,7 +197,9 @@ object PdfBuilder {
           }
           val hdr = latin1(header.toString)
           val raw = hdr ++ bodyB.toByteArray
-          val defl = flate(raw)
+          // the ObjStm stream body is the encrypted unit; its contained
+          // objects are NOT individually encrypted (§7.5.7)
+          val defl = enc(stmNum, flate(raw))
           offsets(stmNum) = out.size().toLong
           w(s"$stmNum 0 obj\n<< /Type /ObjStm /N ${packed.size} /First ${hdr.length} " +
             s"/Filter /FlateDecode /Length ${defl.length} >>\nstream\n")
@@ -174,7 +219,7 @@ object PdfBuilder {
 
     private def trailer(prev: Option[Long]): String = {
       val p = prev.map(o => s" /Prev $o").getOrElse("")
-      s"trailer\n<< /Size ${maxNum + 1} /Root 1 0 R$p >>\n"
+      s"trailer\n<< /Size ${maxNum + 1} /Root 1 0 R$p$trailerExtra >>\n"
     }
 
     private def writeClassicXref(out: java.io.ByteArrayOutputStream,
@@ -234,10 +279,12 @@ object PdfBuilder {
         System.arraycopy(rows, r * rowLen, prev, 0, rowLen)
         r += 1
       }
+      // xref streams are NEVER encrypted (§7.5.8.2); their dict is the
+      // trailer, so it carries /Encrypt + /ID when encryption is on
       val defl = flate(enc)
       val dict = s"<< /Type /XRef /Size $size /W [1 4 2] /Index [0 $size] /Root 1 0 R " +
         s"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns $rowLen >> " +
-        s"/Length ${defl.length} >>"
+        s"/Length ${defl.length}$trailerExtra >>"
       val out = new java.io.ByteArrayOutputStream()
       out.write(latin1(s"$selfNum 0 obj\n$dict\nstream\n"))
       out.write(defl, 0, defl.length)
@@ -473,7 +520,10 @@ object PdfBuilder {
       * For Type0, surrogate pairs consume one CID per code point.
       */
     def showString(s: String, rng: Random): String = {
-      if (fontKind == 3) {
+      if (fontKind == 6) {
+        // UTF-16BE code units verbatim (surrogate pairs = two codes)
+        hexString(s.map(_.toInt))
+      } else if (fontKind == 3) {
         val codes = ArrayBuffer.empty[Int]
         var i = 0
         while (i < s.length) {
@@ -556,7 +606,45 @@ object PdfBuilder {
     val pagesNum = asm.alloc() // 2
     val fontNum = asm.alloc()
 
-    // font + ToUnicode + descendants
+    // --- standard security handler (must precede every stream add:
+    // stream data is encrypted at add time, keyed by object number)
+    if (spec.encryptKind > 0) {
+      import graft.pdf.Crypt
+      val (v, r, bits, aes) = spec.encryptKind match {
+        case 1 => (1, 2, 40, false)
+        case 2 => (2, 3, 128, false)
+        case _ => (4, 4, 128, true)
+      }
+      val n = bits / 8
+      val fileId = Array.fill(16)(rng.nextInt(256).toByte)
+      val oBytes = Crypt.ownerBytes(r, n) // empty owner AND user password
+      val perm = -44 // owner-locked permissions; the crawl-typical shape
+      val key = Crypt.fileKey(oBytes, perm, fileId, r, n)
+      val uBytes = {
+        val u = Crypt.userBytes(key, r, fileId)
+        if (r == 2) u else u ++ Array.fill(16)(rng.nextInt(256).toByte) // §Alg 5 f: 16 arbitrary pad bytes
+      }
+      def hx(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02X").mkString
+      val encBody = v match {
+        case 1 => s"<< /Filter /Standard /V 1 /R 2 /O <${hx(oBytes)}> /U <${hx(uBytes)}> /P $perm >>"
+        case 2 => s"<< /Filter /Standard /V 2 /R 3 /Length $bits /O <${hx(oBytes)}> " +
+          s"/U <${hx(uBytes)}> /P $perm >>"
+        case _ => s"<< /Filter /Standard /V 4 /R 4 /Length $bits " +
+          "/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> " +
+          s"/StmF /StdCF /StrF /StdCF /O <${hx(oBytes)}> /U <${hx(uBytes)}> /P $perm >>"
+      }
+      // never packable: the /Encrypt dict may not live in an ObjStm (§7.5.7)
+      val encNum = asm.add(encBody, packable = false)
+      asm.crypt = Some(new Crypt.StdDecryptor(key, aes))
+      asm.cryptRng = rng
+      asm.trailerExtra = s" /Encrypt $encNum 0 R /ID [<${hx(fileId)}> <${hx(fileId)}>]"
+    }
+
+    // font + ToUnicode + descendants (capture the alloc'd helper object
+    // numbers — the /Encrypt object may sit between fontNum and them)
+    var tuNumA = -1 // ToUnicode stream (fontKind 2, 3)
+    var descNumA = -1 // descendant CIDFont (fontKind 3)
+    var procNumA = -1 // Type3 glyph proc (fontKind 5)
     val fontBody: String = spec.fontKind match {
       case 0 =>
         "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>"
@@ -565,14 +653,14 @@ object PdfBuilder {
         "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
           s"/Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding /Differences [$diffs] >> >>"
       case 2 =>
-        val tuNum = asm.alloc()
+        val tuNum = asm.alloc(); tuNumA = tuNum
         s"<< /Type /Font /Subtype /TrueType /BaseFont /Synthetica /Encoding /WinAnsiEncoding /ToUnicode $tuNum 0 R >>"
       case 4 =>
         "<< /Type /Font /Subtype /TrueType /BaseFont /Times-Roman /Encoding /MacRomanEncoding >>"
       case 5 =>
         // Type3 with /CharProcs + /Differences over the ASCII range; the
         // glyph procedures are inert (text extraction never renders them)
-        val procNum = asm.alloc()
+        val procNum = asm.alloc(); procNumA = procNum
         val names = "32 /space 97" + (97 to 122).map(c => s" /${c.toChar}").mkString("") +
           " 46 /period 44 /comma"
         val widths = (32 to 122).map(_ => 500).mkString(" ")
@@ -582,10 +670,16 @@ object PdfBuilder {
           s"/Encoding << /Type /Encoding /Differences [$names] >> " +
           s"/FirstChar 32 /LastChar 122 /Widths [$widths] >>"
       case 3 =>
-        val descNum = asm.alloc()
-        val tuNum = asm.alloc()
+        val descNum = asm.alloc(); descNumA = descNum
+        val tuNum = asm.alloc(); tuNumA = tuNum
         s"<< /Type /Font /Subtype /Type0 /BaseFont /Synth-CID /Encoding /Identity-H " +
           s"/DescendantFonts [$descNum 0 R] /ToUnicode $tuNum 0 R >>"
+      case 6 =>
+        // predefined CMap: codes are UTF-16BE units; deliberately NO
+        // /ToUnicode — the extractor must decode via the CMap name alone
+        val descNum = asm.alloc(); descNumA = descNum
+        s"<< /Type /Font /Subtype /Type0 /BaseFont /STSong-Light /Encoding /UniGB-UCS2-H " +
+          s"/DescendantFonts [$descNum 0 R] >>"
       case _ => "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     }
 
@@ -599,30 +693,19 @@ object PdfBuilder {
       pageTexts += expected
       forms.foreach { case (rn, body) =>
         val (fc, data) = encodeStream(latin1(body), 1) // forms always Flate
-        val n = asm.addBytes(latin1(s"<< /Subtype /Form /Type /XObject /BBox [0 0 612 792] " +
-          s"$fc/Length ${data.length} >>\nstream\n") ++ data ++ latin1("\nendstream"))
+        val n = asm.addStream(s"/Subtype /Form /Type /XObject /BBox [0 0 612 792] $fc", data)
         formNums += ((rn, n))
       }
       val (fc, data) = encodeStream(latin1(content), spec.filterKind)
-      val cNum =
-        if (spec.indirectLength) {
-          val lenNum = asm.alloc()
-          val n = asm.addBytes(latin1(s"<< $fc/Length $lenNum 0 R >>\nstream\n") ++
-            data ++ latin1("\nendstream"))
-          asm.addAt(lenNum, data.length.toString, packable = true)
-          n
-        } else {
-          asm.addBytes(latin1(s"<< $fc/Length ${data.length} >>\nstream\n") ++
-            data ++ latin1("\nendstream"))
-        }
-      contentNums += cNum
+      contentNums += asm.addStream(fc, data, indirectLen = spec.indirectLength)
     }
 
     // decoy override for xrefKind 2: page 0 content is superseded via /Prev
     if (spec.xrefKind == 2) {
       // the object written in the main body is a DECOY; the update wins
       val decoy = "BT /F1 12 Tf 72 720 Td (DECOY TEXT not extracted) Tj ET"
-      val (fc, data) = encodeStream(latin1(decoy), spec.filterKind)
+      val (fc, data0) = encodeStream(latin1(decoy), spec.filterKind)
+      val data = asm.enc(contentNums(0), data0) // same object number, same key
       val real = asm.objs.find(_.num == contentNums(0)).get
       val decoyBody = latin1(s"<< $fc/Length ${data.length} >>\nstream\n") ++
         data ++ latin1("\nendstream")
@@ -668,28 +751,34 @@ object PdfBuilder {
 
     // ToUnicode / descendant font objects (numbers were reserved in order)
     if (spec.fontKind == 2) {
-      val tuNum = fontNum + 1
+      val tuNum = tuNumA
       val body = toUnicodeBody(2, enc)
-      val defl = flate(latin1(body))
+      val defl = asm.enc(tuNum, flate(latin1(body)))
       asm.addAt(tuNum, s"<< /Filter /FlateDecode /Length ${defl.length} >>\nstream\n" +
         new String(defl, "ISO-8859-1") + "\nendstream")
     } else if (spec.fontKind == 3) {
-      val descNum = fontNum + 1
-      val tuNum = fontNum + 2
+      val descNum = descNumA
+      val tuNum = tuNumA
       asm.addAt(descNum,
         "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Synth-CID " +
           "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> /DW 500 " +
           "/W [512 [600 600 600]] >>",
         packable = true)
       val body = toUnicodeBody(3, enc)
-      val defl = flate(latin1(body))
+      val defl = asm.enc(tuNum, flate(latin1(body)))
       asm.addAt(tuNum, s"<< /Filter /FlateDecode /Length ${defl.length} >>\nstream\n" +
         new String(defl, "ISO-8859-1") + "\nendstream")
+    } else if (spec.fontKind == 6) {
+      asm.addAt(descNumA,
+        "<< /Type /Font /Subtype /CIDFontType0 /BaseFont /STSong-Light " +
+          "/CIDSystemInfo << /Registry (Adobe) /Ordering (GB1) /Supplement 5 >> /DW 1000 >>",
+        packable = true)
     } else if (spec.fontKind == 5) {
       // inert Type3 glyph procedure shared by every /CharProcs entry
-      val procNum = fontNum + 1
-      val proc = "500 0 0 0 1000 1000 d1"
-      asm.addAt(procNum, s"<< /Length ${proc.length} >>\nstream\n$proc\nendstream")
+      val procNum = procNumA
+      val proc = asm.enc(procNum, latin1("500 0 0 0 1000 1000 d1"))
+      asm.addAt(procNum, s"<< /Length ${proc.length} >>\nstream\n" +
+        new String(proc, "ISO-8859-1") + "\nendstream")
     }
 
     val bytes = asm.finish(spec.xrefKind, spec.junkAfterEof, rng)

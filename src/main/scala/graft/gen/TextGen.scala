@@ -50,6 +50,7 @@ object TextGen {
       case 3 => base ++ langWords.getOrElse(lang, Vector.empty) ++ cidWords
       case 4 => base ++ (if (lang != "zh") langWords.getOrElse(lang, Vector.empty) else Vector.empty) // MacRoman
       case 5 => base // Type3: plain ASCII via /Differences names
+      case 6 => base ++ langWords.getOrElse(lang, Vector.empty) ++ cidWords // UTF-16BE codes: anything goes
       case _ => base
     }
   }

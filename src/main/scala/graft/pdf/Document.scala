@@ -72,9 +72,6 @@ final class PdfDocument(val bytes: Array[Byte],
     }
   }
 
-  if (trailer.get("Encrypt").isDefined)
-    throw new PdfLoadException("encrypted") // E1: decryption out of scope
-
   private val objCache = mutable.Map.empty[Int, PdfObj]
   private val objStmCache = mutable.Map.empty[Int, ObjStm.Loaded]
   private var resolveDepth = 0
@@ -110,7 +107,7 @@ final class PdfDocument(val bytes: Array[Byte],
     val lx = new Lexer(bytes, off, bytes.length)
     val save = lx.pos
     (lx.next(), lx.next(), lx.next()) match {
-      case (Tok.TInt(n), Tok.TInt(_), Tok.TKw("obj")) =>
+      case (Tok.TInt(n), Tok.TInt(g), Tok.TKw("obj")) =>
         if (n.toInt != expectNum) {
           // stale offset — try reconstruction map once
           reconMap.get(expectNum) match {
@@ -119,7 +116,7 @@ final class PdfDocument(val bytes: Array[Byte],
             case _ => () // parse what's here anyway
           }
         }
-        new ObjParser(lx, resolveLength).parseObj()
+        maybeDecrypt(expectNum, g.toInt, new ObjParser(lx, resolveLength).parseObj())
       case _ =>
         lx.pos = save
         reconMap.get(expectNum) match {
@@ -141,6 +138,52 @@ final class PdfDocument(val bytes: Array[Byte],
       }
     case o => int(o)
   }
+
+  /** Object number of the /Encrypt dict — its own strings (/O, /U)
+    * stay plaintext (§7.6.2), as does the trailer (/ID).
+    */
+  private val encObjNum: Int = trailer.get("Encrypt") match {
+    case Some(PRef(n, _)) => n
+    case _ => -1
+  }
+
+  /** Standard-security-handler decryptor, built from the /Encrypt dict
+    * with the EMPTY user password (ISO 32000-1 §7.6.3 — the common
+    * "owner password only" crawl case). Null when the file is not
+    * encrypted. Non-decryptable files stay typed error rows:
+    * `encrypted:password` / `encrypted:unsupported` / `encrypted`.
+    *
+    * Initialized AFTER objCache/resolveLength (the /Encrypt dict loads
+    * through the normal object path with `crypt` still null, i.e.
+    * undecrypted — which is exactly what §7.6.2 requires for it).
+    */
+  private val crypt: Crypt.StdDecryptor = trailer.get("Encrypt") match {
+    case None => null
+    case Some(e) =>
+      val encDict = dictOf(e)
+      if (encDict.m.isEmpty) throw new PdfLoadException("encrypted")
+      val firstId: Array[Byte] = trailer.get("ID").map(resolve) match {
+        case Some(PArray(items)) if items.nonEmpty => resolve(items.head) match {
+          case PString(b) => b
+          case _ => Array.empty[Byte]
+        }
+        case _ => Array.empty[Byte]
+      }
+      Crypt.forDocument(encDict, resolve, firstId) match {
+        case Right(dec) =>
+          // anything cached while resolving /Encrypt was parsed plaintext
+          objCache.clear(); objStmCache.clear()
+          dec
+        case Left(tag) => throw new PdfLoadException(tag)
+      }
+  }
+
+  /** Decrypt strings/streams of a just-parsed top-level indirect object
+    * (objects inside ObjStms are NOT individually encrypted — their
+    * container stream was, §7.5.7).
+    */
+  private def maybeDecrypt(num: Int, gen: Int, o: PdfObj): PdfObj =
+    if (crypt == null || num == encObjNum) o else crypt.decryptObj(num, gen, o)
 
   /** Chase indirect references to a direct object (cycle-bounded). */
   def resolve(o: PdfObj): PdfObj = {

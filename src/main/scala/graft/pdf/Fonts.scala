@@ -19,7 +19,11 @@ final case class FontInfo(
     widths: Map[Int, Int], // code -> width (1000-em units)
     defaultWidth: Int,
     isType0: Boolean,
-    identityCid: Boolean) {
+    identityCid: Boolean,
+    /** Predefined Uni*-UCS2/UTF16 CMap (§9.7.5.2): codes ARE UTF-16BE
+      * code units, so code→Unicode needs no table at all.
+      */
+    utf16Codes: Boolean = false) {
 
   // decode caches: glyph decoding is the hottest per-character path of
   // the whole engine; caching turns repeated map lookups + String
@@ -54,6 +58,10 @@ final case class FontInfo(
       case None =>
         if (!isType0 && encTable != null && code >= 0 && code < 256 && encTable(code) >= 0)
           new String(Character.toChars(encTable(code)))
+        else if (utf16Codes && code >= 0 && code <= 0xFFFF)
+          // one UTF-16 code unit per code; adjacent surrogate halves
+          // reassemble naturally when the shown codes concatenate
+          String.valueOf(code.toChar)
         else if (isType0)
           "" // Identity CID with no ToUnicode: unmappable (SURVEY §2.4 FN3)
         else if (code >= 0x20 && code <= 0xFF)
@@ -239,13 +247,30 @@ object Fonts {
 
   private def loadType0(doc: PdfDocument, resName: String, fontDict: PDict,
                         toUni: ToUnicodeCMap): FontInfo = {
-    val encName = doc.resolve(fontDict.get("Encoding").getOrElse(PNull)) match {
+    val encObj = doc.resolve(fontDict.get("Encoding").getOrElse(PNull))
+    val encName = encObj match {
       case PName(s) => s
       case _ => ""
     }
     val identity = encName == "Identity-H" || encName == "Identity-V"
-    if (!identity && toUni.isEmpty)
-      throw new UnsupportedCMapException(if (encName.isEmpty) "none" else encName)
+    // Every predefined Uni*-UCS2-* / Uni*-UTF16-* CMap (UniGB, UniCNS,
+    // UniJIS, UniJIS2004, UniJISX0213, UniKS × H/V/HW; Adobe
+    // cmap-resources registry) maps UTF-16BE code units to CIDs — so for
+    // TEXT extraction the code IS the Unicode, no CID table needed. This
+    // recovers most CJK crawl PDFs that lack /ToUnicode (VERDICT r2
+    // "what's missing" #2).
+    val utf16 = encName.startsWith("Uni") &&
+      (encName.contains("-UCS2-") || encName.contains("-UTF16-"))
+    if (!identity && !utf16 && toUni.isEmpty) {
+      encObj match {
+        // an embedded CMap stream (§9.7.6.2) is legal but needs the
+        // descendant's CID ordering tables — tag it DISTINCTLY instead
+        // of falling through to "none" (ADVICE r2)
+        case _: PStream => throw new UnsupportedCMapException("embedded")
+        case _ =>
+          throw new UnsupportedCMapException(if (encName.isEmpty) "none" else encName)
+      }
+    }
     // /DescendantFonts [ CIDFont ] → /W ranges, /DW default 1000 (§9.7.4.3)
     val desc: PDict = doc.resolve(fontDict.get("DescendantFonts").getOrElse(PNull)) match {
       case PArray(items) if items.nonEmpty => doc.dictOf(items.head)
@@ -277,7 +302,12 @@ object Fonts {
         b.result()
       case _ => Map.empty
     }
-    FontInfo(resName, "Type0", 2, toUni, null, Map.empty, widths, dw,
-      isType0 = true, identityCid = identity)
+    // NOTE under utf16: /W is keyed by CID, and code→CID needs the Adobe
+    // ordering tables we deliberately don't ship — /DW (CJK fonts are
+    // overwhelmingly full-width 1000) feeds the gap heuristic instead;
+    // only spacing inference is affected, never the glyph text.
+    FontInfo(resName, "Type0", 2, toUni, null, Map.empty,
+      if (utf16) Map.empty else widths, dw,
+      isType0 = true, identityCid = identity, utf16Codes = utf16)
   }
 }

@@ -134,4 +134,55 @@ class FontsSpec extends AnyFunSuite {
     assert(Glyphs.standard(0x27) == 0x2019) // quoteright
     assert(Glyphs.standard(0xA4) == 0x2044) // fraction
   }
+
+  /** Minimal one-page PDF with a Type0 font bound to a predefined CMap
+    * by NAME (no /ToUnicode anywhere) and a hex show string.
+    */
+  private def cmapDoc(cmap: String, hexCodes: String): Array[Byte] = {
+    val objs = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> ("<< /Type /Page /Parent 2 0 R /Resources " +
+        "<< /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"),
+      4 -> {
+        val content = s"BT /F1 12 Tf 72 720 Td <$hexCodes> Tj ET"
+        s"<< /Length ${content.length} >>\nstream\n$content\nendstream"
+      },
+      5 -> (s"<< /Type /Font /Subtype /Type0 /BaseFont /Synth /Encoding /$cmap " +
+        "/DescendantFonts [6 0 R] >>"),
+      6 -> ("<< /Type /Font /Subtype /CIDFontType0 /BaseFont /Synth " +
+        "/CIDSystemInfo << /Registry (Adobe) /Ordering (GB1) /Supplement 5 >> /DW 1000 >>"))
+    val sb = new StringBuilder("%PDF-1.7\n")
+    val offsets = scala.collection.mutable.Map.empty[Int, Int]
+    objs.foreach { case (n, body) =>
+      offsets(n) = sb.length
+      sb.append(s"$n 0 obj\n$body\nendobj\n")
+    }
+    val xref = sb.length
+    sb.append("xref\n0 7\n")
+    (0 to 6).foreach { n =>
+      if (n == 0) sb.append(f"${0}%010d 65535 f \n")
+      else sb.append(f"${offsets(n)}%010d 00000 n \n")
+    }
+    sb.append(s"trailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    sb.toString.getBytes("ISO-8859-1")
+  }
+
+  test("predefined Uni*-UCS2/UTF16 CMaps decode as UTF-16BE without ToUnicode") {
+    val inflater = new java.util.zip.Inflater()
+    // BMP CJK through UniGB-UCS2-H
+    val r1 = PdfExtractor.extract(cmapDoc("UniGB-UCS2-H", "6F225B576587672C"), inflater)
+    assert(r1.text == "\u6f22\u5b57\u6587\u672c", r1.text) // 漢字文本
+    // surrogate pair (U+1D49C) through UniJIS-UTF16-H: two 2-byte codes
+    val r2 = PdfExtractor.extract(cmapDoc("UniJIS-UTF16-H", "D835DC9C0041"), inflater)
+    assert(r2.text == new String(Character.toChars(0x1D49C)) + "A", r2.text)
+    // Korean family name variant
+    val r3 = PdfExtractor.extract(cmapDoc("UniKS-UCS2-V", "D55CAE00"), inflater)
+    assert(r3.text == "\ud55c\uae00", r3.text) // 한글
+    // a BYTE-oriented predefined CMap must stay a typed error row
+    val ex = intercept[Exception] {
+      PdfExtractor.extract(cmapDoc("GBK-EUC-H", "BABA"), inflater)
+    }
+    assert(ex.getMessage == "unsupported-cmap:GBK-EUC-H")
+  }
 }

@@ -129,14 +129,16 @@ class XrefDocSpec extends AnyFunSuite {
     assert(r.text == "ABCD", s"got '${r.text}'")
   }
 
-  test("Type0 with predefined CID CMap and no ToUnicode: distinct countable error") {
+  test("Type0 with BYTE-oriented predefined CID CMap: distinct countable error") {
+    // Uni*-UCS2/UTF16 CMaps decode as UTF-16BE since r3 (FontsSpec);
+    // byte-oriented orderings like GBK-EUC-H still need Adobe tables
     val objs = baseObjs.map {
       case (5, _) => 5 -> ("<< /Type /Font /Subtype /Type0 /BaseFont /STSong-Light " +
-        "/Encoding /UniGB-UCS2-H /DescendantFonts [6 0 R] >>")
+        "/Encoding /GBK-EUC-H /DescendantFonts [6 0 R] >>")
       case o => o
     } :+ (6 -> "<< /Type /Font /Subtype /CIDFontType0 /BaseFont /STSong-Light >>")
     val e = intercept[Exception] { PdfExtractor.extract(pdf(objs), inf) }
-    assert(e.getMessage == "unsupported-cmap:UniGB-UCS2-H")
+    assert(e.getMessage == "unsupported-cmap:GBK-EUC-H")
   }
 
   test("/Length as indirect reference") {
