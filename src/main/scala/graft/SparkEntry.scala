@@ -222,6 +222,9 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
     "d5_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir)).limit(2000)),
+    // md5-derived minhash variant: the LSH banding pipeline itself under
+    // the DuckDB oracle (d2 = same shape on xxhash64, value-tested only)
+    "d6_minhash_portable" -> ((s, dir) => Dedup.minhashPairsPortable(docsWithDups(s, dir))),
     "s1_ann_brute" -> ((s, dir) => {
       val emb = embeddings(s, dir)
       val q = emb.orderBy("vec_id").limit(5)
@@ -383,6 +386,31 @@ object SparkEntry {
           "len(list_distinct(ga.gs || gb.gs)), 6) AS jaccard " +
           "FROM pairs JOIN grams ga ON doc_a = ga.doc_id " +
           "JOIN grams gb ON doc_b = gb.doc_id ORDER BY doc_a, doc_b"),
+      "d6_minhash_portable" -> {
+        val nH = 16
+        def h60(e: String, seed: Int) =
+          s"CAST(('0x' || substr(md5($e || ':$seed'),1,15)) AS BIGINT)"
+        val minAggs = (0 until nH).map(h => s"${h60("sh", h)}").zipWithIndex
+          .map { case (e, h) => s"MIN($e) AS mh_$h" }.mkString(", ")
+        val bandSelects = (0 until 4).map { b =>
+          val catted = (0 until 4).map(r => s"CAST(mh_${b * 4 + r} AS VARCHAR)")
+            .mkString(" || '|' || ")
+          s"SELECT doc_id, $b AS band, md5($catted) AS sig FROM sigs"
+        }.mkString(" UNION ALL ")
+        val matches = (0 until nH).map(h => s"CAST(sa.mh_$h = sb.mh_$h AS INT)")
+          .mkString(" + ")
+        (s"$dupDocs, " +
+          "shing AS (SELECT doc_id, unnest(list_distinct([substr(text, i, 5) " +
+          "for i in range(1, greatest(length(text)-4, 1) + 1)])) AS sh FROM docs), " +
+          s"sigs AS (SELECT doc_id, $minAggs FROM shing GROUP BY doc_id), " +
+          s"bands AS ($bandSelects), " +
+          "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+          "FROM bands a JOIN bands b USING (band, sig) WHERE a.doc_id < b.doc_id), " +
+          s"est AS (SELECT doc_a, doc_b, ($matches) / 16.0 AS ej FROM pairs " +
+          "JOIN sigs sa ON doc_a = sa.doc_id JOIN sigs sb ON doc_b = sb.doc_id) " +
+          "SELECT doc_a, doc_b, ROUND(ej, 6) AS est_jaccard FROM est " +
+          "WHERE ej >= 0.5 ORDER BY doc_a, doc_b")
+      },
       "q12_langid" ->
         (s"SELECT doc_id, CASE WHEN $zh > 0 THEN 'zh' " +
           s"WHEN $de > $fr AND $de > $es THEN 'de' " +

@@ -74,6 +74,47 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Portable-hash minhash + LSH banding (d6): same pipeline shape as
+    * `minhashPairs`, but every hash is md5-derived (the first 15 hex
+    * chars = 60 bits, positive in a BIGINT), so each stage is
+    * expressible in ANSI SQL and the WHOLE banding algorithm runs under
+    * the DuckDB driver oracle (VERDICT r2 next-round #5 — xxhash64
+    * blocked d2 from independent checking). d2 stays the production
+    * path: xxhash64 is codegen'd and ~an order of magnitude cheaper
+    * than md5 per shingle.
+    */
+  def minhashPairsPortable(docs: DataFrame, k: Int = 5, numHashes: Int = 16,
+                           bands: Int = 4, minEstJaccard: Double = 0.5): DataFrame = {
+    def h60(c: Column, seed: Int): Column =
+      conv(substring(md5(concat(c, lit(s":$seed"))), 1, 15), 16, 10).cast("long")
+    val exploded = docs
+      .select(col("doc_id"), explode(shingles(col("text"), k)).as("shingle"))
+    val aggs = (0 until numHashes).map(h => min(h60(col("shingle"), h)).as(s"mh_$h"))
+    val sigs = exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val rows = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      val cols = (0 until rows).map(r => col(s"mh_${b * rows + r}"))
+      struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("sig"))
+    }
+    val sigArr = array((0 until numHashes).map(h => col(s"mh_$h")): _*)
+    val buckets = sigs
+      .select(col("doc_id"), sigArr.as("sig_arr"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("sig_arr"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    val est = aggregate(
+      zip_with(col("a.sig_arr"), col("b.sig_arr"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / numHashes
+    buckets.as("a")
+      .join(buckets.as("b"), Seq("band", "sig"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        est.as("est_jaccard"))
+      .groupBy("doc_a", "doc_b").agg(min(col("est_jaccard")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** SimHash (64-bit): per-token hash, bitwise weighted majority.
     * All 64 bit-sums happen in one hash-aggregate pass.
     */

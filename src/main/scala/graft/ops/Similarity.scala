@@ -160,7 +160,7 @@ object Similarity {
     * with a bucketed layout, not recomputed per query batch.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
-              planes: Int = 6, tables: Int = 8, probes: Int = 1): DataFrame = {
+              planes: Int = 6, tables: Int = 8, probes: Int = 2): DataFrame = {
     val cb = corpus.select(col("vec_id"), col("embedding"),
       explode(lshKeys(col("embedding"), dim, planes, tables)).as("bk"))
       .select(col("vec_id"), col("embedding"), col("bk.tbl").as("tbl"), col("bk.key").as("key"))

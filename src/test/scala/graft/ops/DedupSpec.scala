@@ -62,6 +62,23 @@ class DedupSpec extends AnyFunSuite {
       "disjoint docs should share no band (or near-zero estimate)")
   }
 
+  test("portable (md5) minhash variant agrees with the xxhash64 path on dup structure") {
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val d = docs(
+      1L -> base, 2L -> base, // exact pair
+      3L -> (base + " tail"), // near-dup of 1/2
+      4L -> "totally different words nothing shared here at all")
+    val portable = Dedup.minhashPairsPortable(d, minEstJaccard = 0.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(portable((1L, 2L)) == 1.0, s"exact copies: $portable")
+    assert(portable.get((1L, 3L)).forall(_ < 1.0))
+    assert(!portable.contains((1L, 4L)) || portable((1L, 4L)) < 0.3)
+    // the production path finds the same exact-dup pair
+    val prod = Dedup.minhashPairs(d, minEstJaccard = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prod.contains((1L, 2L)))
+  }
+
   test("minhash est_jaccard tracks true shingle Jaccard on a near-dup") {
     val base = (1 to 40).map(i => s"word$i").mkString(" ")
     val d = docs(1L -> base, 2L -> (base + " tailword"))
