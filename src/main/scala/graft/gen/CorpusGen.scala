@@ -78,7 +78,7 @@ object CorpusGen {
     val i = (docId / 3).toInt // dense index over PDF docs
     // zh needs Type0: alternate Identity-H+ToUnicode (3) and the
     // predefined UniGB-UCS2-H CMap with NO ToUnicode (6)
-    val fontKind = if (lang == "zh") (if ((i / 2) % 2 == 0) 3 else 6) else i % 6
+    val fontKind = if (lang == "zh") (if ((i / 2) % 2 == 0) 3 else 6) else i % 8
     PdfBuilder.Spec(
       xrefKind = i % 5,
       filterKind = (i / 5) % 7,

@@ -27,7 +27,11 @@ object HtmlBuilder {
         * runs of spaces and indentation must survive VERBATIM (modulo
         * the dropped leading newline), unlike every other block.
         */
-      preBlock: Boolean = false)
+      preBlock: Boolean = false,
+      /** r3 axis: a 3×3 table inside main — each ROW must extract as one
+        * tab-joined block (Appendix A table rule).
+        */
+      tableBlock: Boolean = false)
 
   final case class Built(bytes: Array[Byte], text: String, spans: Vector[Span],
                          wetText: String)
@@ -41,7 +45,8 @@ object HtmlBuilder {
       traps = rng.nextInt(16),
       titlePresent = rng.nextInt(5) != 0,
       listBlock = rng.nextInt(3) == 0,
-      preBlock = (i / 27) % 2 == 1)
+      preBlock = (i / 27) % 2 == 1,
+      tableBlock = (i / 13) % 3 == 1)
   }
 
   /** Reverse named-entity map for 1-char values. */
@@ -214,13 +219,18 @@ object HtmlBuilder {
       }
     }
 
-    // <pre> code block: whitespace-verbatim extraction (App. A pre rule)
+    // <pre> code block: whitespace-verbatim extraction (App. A pre rule).
+    // Only the ONE newline straight after <pre> is dropped (WHATWG
+    // §13.2); further leading blank lines and trailing newlines are
+    // content — both edges exercised here (ADVICE r2).
     if (spec.preBlock) {
-      val preText = Vector(
+      val leadBlank = rng.nextInt(2) == 0 // kept blank first line
+      val trailNl = rng.nextInt(2) == 0 // kept trailing newline
+      val preText = (if (leadBlank) "\n" else "") + Vector(
         s"def ${words(1).takeWhile(_ != ' ')}(x):",
         "    return x + 1   # two-space  runs   kept",
         "",
-        s"value   =  ${words(1)}").mkString("\n")
+        s"value   =  ${words(1)}").mkString("\n") + (if (trailNl) "\n" else "")
       h.append("<pre>\n").append(ser(preText, spec, rng)).append("</pre>\n")
       kept += ((preText, "pre"))
       wet.append(preText.replace('\n', ' ')).append(' ')
@@ -237,6 +247,27 @@ object HtmlBuilder {
         wet.append(itemText).append(' ')
       }
       h.append("</ul>\n")
+    }
+
+    // data table inside main: each ROW extracts as ONE tab-joined block
+    // (Appendix A table rule, r3); header row uses th, exercises both
+    // the implied-end path (unclosed cells) and the closed path
+    if (spec.tableBlock) {
+      h.append("<table>\n")
+      (0 until 3).foreach { r =>
+        val cells = (0 until 3).map(_ => norm(words(2)))
+        val tag = if (r == 0) "th" else "td"
+        h.append("<tr>")
+        cells.foreach { c =>
+          h.append(s"<$tag>").append(ser(c, spec, rng))
+          if (!unclosed) h.append(s"</$tag>")
+        }
+        h.append("</tr>\n")
+        val rowText = cells.mkString("\t")
+        kept += ((rowText, "tr"))
+        wet.append(cells.mkString(" ")).append(' ')
+      }
+      h.append("</table>\n")
     }
     h.append(mainClose)
 

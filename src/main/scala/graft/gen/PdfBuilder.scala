@@ -28,7 +28,7 @@ object PdfBuilder {
       filterKind: Int, // 0 none | 1 flate | 2 ahx | 3 a85 | 4 a85+flate chain | 5 rle | 6 lzw
       showKind: Int, // 0 Tj | 1 TJ kerning | 2 '/" forms
       posKind: Int, // 0 Td | 1 Tm | 2 T*+TL
-      fontKind: Int, // 0 WinAnsi | 1 Differences | 2 ToUnicode bfchar | 3 Type0 Identity-H | 4 MacRoman | 5 Type3 | 6 Type0 UniGB-UCS2-H (UTF-16BE codes, NO ToUnicode)
+      fontKind: Int, // 0 WinAnsi | 1 Differences | 2 ToUnicode bfchar | 3 Type0 Identity-H | 4 MacRoman | 5 Type3 | 6 Type0 UniGB-UCS2-H (UTF-16BE codes, NO ToUnicode) | 7 Symbol (built-in encoding, no /Widths)
       nPages: Int, // 1 | 3 (intermediate /Pages node when 3)
       formXObject: Boolean,
       inlineImage: Boolean,
@@ -57,6 +57,11 @@ object PdfBuilder {
   /** Unicode → WinAnsi code (generator-side reverse of Glyphs.winAnsi). */
   private lazy val winAnsiRev: Map[Int, Int] =
     Glyphs.winAnsi.zipWithIndex.collect { case (cp, code) if cp >= 0 => cp -> code }
+      .groupBy(_._1).map { case (cp, xs) => cp -> xs.map(_._2).min }
+
+  /** Unicode → Symbol code (generator-side reverse of Glyphs.symbol). */
+  private lazy val symbolRev: Map[Int, Int] =
+    Glyphs.symbol.zipWithIndex.collect { case (cp, code) if cp >= 0 => cp -> code }
       .groupBy(_._1).map { case (cp, xs) => cp -> xs.map(_._2).min }
 
   /** Unicode → MacRoman code. */
@@ -505,6 +510,7 @@ object PdfBuilder {
         bfcharRemap.getOrElse(ch, winAnsiRev.getOrElse(ch.toInt, '?'.toInt))
       case 4 => macRomanRev.getOrElse(ch.toInt, '?'.toInt)
       case 5 => ch.toInt // Type3: ASCII via /Differences glyph names
+      case 7 => symbolRev.getOrElse(ch.toInt, '?'.toInt) // Symbol built-in
       case _ => winAnsiRev.getOrElse(ch.toInt, '?'.toInt)
     }
 
@@ -513,6 +519,7 @@ object PdfBuilder {
       */
     def cpOf(ch: Char): Int = fontKind match {
       case 4 => Glyphs.macRoman(macRomanRev.getOrElse(ch.toInt, '?'.toInt))
+      case 7 => Glyphs.symbol(symbolRev.getOrElse(ch.toInt, '?'.toInt))
       case _ => Glyphs.winAnsi(winAnsiRev.getOrElse(ch.toInt, '?'.toInt))
     }
 
@@ -657,6 +664,10 @@ object PdfBuilder {
         s"<< /Type /Font /Subtype /TrueType /BaseFont /Synthetica /Encoding /WinAnsiEncoding /ToUnicode $tuNum 0 R >>"
       case 4 =>
         "<< /Type /Font /Subtype /TrueType /BaseFont /Times-Roman /Encoding /MacRomanEncoding >>"
+      case 7 =>
+        // symbolic base-14: built-in encoding, no /Encoding, no /Widths —
+        // the extractor must supply BOTH from its Symbol tables
+        "<< /Type /Font /Subtype /Type1 /BaseFont /Symbol >>"
       case 5 =>
         // Type3 with /CharProcs + /Differences over the ASCII range; the
         // glyph procedures are inert (text extraction never renders them)
@@ -830,7 +841,7 @@ object PdfBuilder {
     // /Widths — the x-advance of the first segment is then computable
     // only from the Core-14 AFM metrics (Glyphs.stdWidth)
     val splitApplies = spec.splitShow && spec.showKind == 0 && spec.posKind <= 1 &&
-      (spec.fontKind == 0 || spec.fontKind == 4)
+      (spec.fontKind == 0 || spec.fontKind == 4 || spec.fontKind == 7)
     val baseFontName = if (spec.fontKind == 4) "Times-Roman" else "Helvetica"
 
     /** Mirror of the interpreter's advance for a shown segment:
@@ -840,7 +851,11 @@ object PdfBuilder {
       var a = 0.0
       var i = 0
       while (i < s.length) {
-        a += Glyphs.stdWidth(baseFontName, enc.cpOf(s.charAt(i))) / 1000.0 * FS
+        val w =
+          if (spec.fontKind == 7) // Symbol widths are CODE-keyed
+            Glyphs.symbolCodeWidths.getOrElse(enc.codeOf(s.charAt(i)), 500)
+          else Glyphs.stdWidth(baseFontName, enc.cpOf(s.charAt(i)))
+        a += w / 1000.0 * FS
         i += 1
       }
       a

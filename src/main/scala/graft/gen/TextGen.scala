@@ -36,6 +36,11 @@ object TextGen {
   private val diffWords = Vector("αβγ", "€uro", "βeta") // fontKind 1
   private val bfcharWords = Vector("ωmega", "✓check") // fontKind 2
   private val cidWords = Vector("𝒜script", "漢字", "Ünïcødé") // fontKind 3
+  /** Symbol-encodable words (basic Greek only; fontKind 7). */
+  private val greekWords = Vector(
+    "αλφα", "βητα", "γαμμα", "δελτα", "σιγμα", "ωμεγα", "θεωρια",
+    "λογος", "κοσμος", "πυθμην", "ρυθμος", "χρονος", "μορφη", "ταξις",
+    "φυσις", "ψυχη", "ζωη", "εικων", "νομος", "ξενος")
 
   /** Word pool for a (lang, pdfFontKind) combination. fontKind -1 = HTML
     * (anything goes; HTML is UTF-8).
@@ -51,6 +56,7 @@ object TextGen {
       case 4 => base ++ (if (lang != "zh") langWords.getOrElse(lang, Vector.empty) else Vector.empty) // MacRoman
       case 5 => base // Type3: plain ASCII via /Differences names
       case 6 => base ++ langWords.getOrElse(lang, Vector.empty) ++ cidWords // UTF-16BE codes: anything goes
+      case 7 => greekWords // Symbol encodes ONLY its own glyph set
       case _ => base
     }
   }

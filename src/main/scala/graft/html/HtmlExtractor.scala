@@ -61,6 +61,10 @@ object HtmlExtractor {
     val sb = new java.lang.StringBuilder
     var nw = 0
     var linkNw = 0
+    // WHATWG §13.2: drop exactly ONE newline immediately after <pre> —
+    // not every newline while the buffer is empty (`<pre>\n\nx` keeps a
+    // real blank line; ADVICE r2)
+    private var droppedLead = false
 
     /** Append text. Default: whitespace collapsing. `preserve` (inside
       * `<pre>`): whitespace verbatim, except CRLF/CR normalize to LF
@@ -74,11 +78,13 @@ object HtmlExtractor {
         if (preserve) {
           if (c == '\r') {
             // CRLF: skip (the LF appends next); lone CR: normalize to LF
-            // (dropped when leading, like LF)
-            if (!(i + 1 < s.length && s.charAt(i + 1) == '\n') && sb.length > 0)
-              sb.append('\n')
-          } else if (c == '\n' && sb.length == 0) {
-            () // leading newline after <pre> dropped
+            // (the first one after the open tag is the dropped one)
+            if (!(i + 1 < s.length && s.charAt(i + 1) == '\n')) {
+              if (sb.length == 0 && !droppedLead) droppedLead = true
+              else sb.append('\n')
+            }
+          } else if (c == '\n' && sb.length == 0 && !droppedLead) {
+            droppedLead = true // the single newline after <pre>
           } else {
             sb.append(c)
             if (!(c == ' ' || c == '\t' || c == '\n' || c == '\f')) {
@@ -88,7 +94,8 @@ object HtmlExtractor {
           }
         } else if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f') {
           val n = sb.length
-          if (n > 0 && sb.charAt(n - 1) != ' ' && sb.charAt(n - 1) != '\n') sb.append(' ')
+          if (n > 0 && sb.charAt(n - 1) != ' ' && sb.charAt(n - 1) != '\n' &&
+            sb.charAt(n - 1) != '\t') sb.append(' ')
         } else {
           sb.append(c)
           nw += 1
@@ -96,6 +103,17 @@ object HtmlExtractor {
         }
         i += 1
       }
+    }
+
+    /** Cell boundary inside a table row: trailing spaces stripped, one
+      * tab (Appendix A table rule, r3: cells of a row read as one
+      * tab-joined line, not separate "\n\n" blocks).
+      */
+    def cellBreak(): Unit = {
+      var n = sb.length
+      while (n > 0 && sb.charAt(n - 1) == ' ') n -= 1
+      sb.setLength(n)
+      sb.append('\t')
     }
 
     /** <br>: strip trailing spaces, newline (consecutive collapse). */
@@ -107,11 +125,16 @@ object HtmlExtractor {
     }
 
     def build(): Option[Block] = {
-      // trim trailing ws/newlines
-      var n = sb.length
-      while (n > 0 && (sb.charAt(n - 1) == ' ' || sb.charAt(n - 1) == '\n')) n -= 1
-      sb.setLength(n)
-      if (n == 0) None else Some(Block(sb.toString, nw, linkNw, tag, forcedKeep))
+      // trim trailing ws/newlines — EXCEPT in preserve blocks, where
+      // "whitespace verbatim" must hold at the block edges too
+      if (!preserve) {
+        var n = sb.length
+        while (n > 0 && (sb.charAt(n - 1) == ' ' || sb.charAt(n - 1) == '\n')) n -= 1
+        sb.setLength(n)
+      }
+      // whitespace-only blocks (nw == 0) are boilerplate either way
+      if (sb.length == 0 || nw == 0) None
+      else Some(Block(sb.toString, nw, linkNw, tag, forcedKeep))
     }
   }
 
@@ -157,6 +180,20 @@ object HtmlExtractor {
             () // pruned subtree (H4)
           } else if (tag == "br") {
             if (cur != null) cur.lineBreak()
+          } else if (tag == "tr") {
+            // one block per table ROW, cells tab-joined (Appendix A r3);
+            // stray td/th outside a tr still fall through to blockTags
+            closeBlock()
+            openBlock("tr")
+            var cellIdx = 0
+            el.children.foreach {
+              case cell: Elem if cell.tag == "td" || cell.tag == "th" =>
+                if (cellIdx > 0) cur.cellBreak()
+                cellIdx += 1
+                walk(cell)
+              case _ => () // inter-cell whitespace / stray nodes
+            }
+            closeBlock()
           } else if (blockTags.contains(tag)) {
             closeBlock()
             openBlock(tag)

@@ -150,8 +150,19 @@ object Fonts {
   private def loadSimple(doc: PdfDocument, resName: String, fontDict: PDict,
                          subtype: String, baseFont: String,
                          toUni: ToUnicodeCMap): FontInfo = {
+    // symbolic base-14 fonts use their BUILT-IN encoding (§9.6.6.4)
+    // unless /Encoding overrides it
+    val bfLower = {
+      val i = baseFont.lastIndexOf('+') // subset prefix
+      (if (i >= 0) baseFont.substring(i + 1) else baseFont).toLowerCase
+    }
+    val isSymbol = bfLower.contains("symbol")
+    val isDingbats = bfLower.contains("dingbat")
     // /Encoding: name, or dict {/BaseEncoding, /Differences}
-    var encTable: Array[Int] = Glyphs.standard
+    var encTable: Array[Int] =
+      if (isSymbol) Glyphs.symbol
+      else if (isDingbats) Glyphs.dingbats
+      else Glyphs.standard
     var diffs = Map.empty[Int, String]
     def baseByName(n: String): Array[Int] = n match {
       case "WinAnsiEncoding" => Glyphs.winAnsi
@@ -213,6 +224,7 @@ object Fonts {
     // (+/Differences); only the positional-gap heuristic consumes these.
     val effWidths: Map[Int, Int] =
       if (widths.nonEmpty) widths
+      else if (isSymbol) Glyphs.symbolCodeWidths // code-keyed (own encoding)
       else Glyphs.afmTable(baseFont) match {
         case Some(tbl) =>
           val b = Map.newBuilder[Int, Int]

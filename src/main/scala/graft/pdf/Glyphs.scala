@@ -150,7 +150,73 @@ object Glyphs {
     * App. A), never glyph output.
     */
   def defaultWidth(baseFont: String): Int =
-    if (baseFont != null && baseFont.contains("Courier")) 600 else 500
+    if (baseFont == null) 500
+    else if (baseFont.contains("Courier")) 600
+    else if (baseFont.toLowerCase.contains("dingbat")) 740 // class-typical, NOT per-glyph AFM
+    else 500
+
+  // --- Symbol / ZapfDingbats built-in encodings (FN7 completion) ------
+  // Symbolic base-14 fonts carry their OWN encoding (§9.6.6.4): without
+  // these tables a Symbol-font span decodes through StandardEncoding
+  // into wrong Latin letters. Mappings are public Adobe data (Symbol
+  // encoding / AGL zapfdingbats list); only glyphs with certain
+  // mappings are included — the rest stay -1 (unmapped).
+
+  /** Symbol code → Unicode: Greek core, digits, ASCII-coincident
+    * punctuation; math operators where unambiguous.
+    */
+  lazy val symbol: Array[Int] = {
+    val a = Array.fill(256)(-1)
+    a(0x20) = ' '
+    "!#%&()+,./:;<=>?[]{}|_".foreach(c => a(c.toInt) = c.toInt)
+    (0x30 to 0x39).foreach(c => a(c) = c) // digits
+    a(0x2D) = 0x2212 // minus sign
+    a(0x2A) = 0x2217 // asterisk operator
+    // uppercase Greek at A..Z (Symbol layout: C=Chi, F=Phi, H=Eta,
+    // J=theta1, Q=Theta, U=Upsilon, V=sigma1, W=Omega, X=Xi, Y=Psi)
+    val upper = "ΑΒΧΔΕΦΓΗΙϑΚΛΜΝΟΠΘΡΣΤΥςΩΞΨΖ"
+    upper.zipWithIndex.foreach { case (g, i) => a('A' + i) = g.toInt }
+    // lowercase Greek at a..z (j=phi1, q=theta, v=omega1/pi-symbol)
+    val lower = "αβχδεφγηιϕκλμνοπθρστυϖωξψζ"
+    lower.zipWithIndex.foreach { case (g, i) => a('a' + i) = g.toInt }
+    a
+  }
+
+  /** ZapfDingbats code → Unicode: the AGL zapf mapping's linear low
+    * range (0x21..0x7E → U+2701..U+275E) plus space; high range left
+    * unmapped (ornament variants).
+    */
+  lazy val dingbats: Array[Int] = {
+    val a = Array.fill(256)(-1)
+    a(0x20) = ' '
+    (0x21 to 0x7E).foreach(c => a(c) = 0x2701 + (c - 0x21))
+    a
+  }
+
+  /** Symbol AFM widths BY CODE (0x20..0x7E; Adobe Symbol AFM). Feeds
+    * only the positional-gap heuristic, like every other AFM table.
+    */
+  lazy val symbolCodeWidths: Map[Int, Int] = {
+    val m = Map.newBuilder[Int, Int]
+    m += 0x20 -> 250
+    Seq('!' -> 333, '#' -> 500, '%' -> 833, '&' -> 778, '(' -> 333,
+      ')' -> 333, '*' -> 500, '+' -> 549, ',' -> 250, '.' -> 250,
+      '/' -> 278, ':' -> 278, ';' -> 278, '<' -> 549, '=' -> 549,
+      '>' -> 549, '?' -> 444, '[' -> 333, ']' -> 333, '_' -> 500,
+      '{' -> 480, '}' -> 480, '|' -> 200, '-' -> 549).foreach {
+      case (c, w) => m += c.toInt -> w
+    }
+    (0x30 to 0x39).foreach(c => m += c -> 500)
+    val upperW = Seq(722, 667, 722, 612, 611, 763, 603, 722, 333, 631,
+      722, 686, 889, 722, 722, 768, 741, 556, 592, 611, 690, 439, 768,
+      645, 795, 611)
+    upperW.zipWithIndex.foreach { case (w, i) => m += ('A' + i) -> w }
+    val lowerW = Seq(631, 549, 549, 494, 439, 521, 411, 603, 329, 603,
+      549, 549, 576, 521, 549, 549, 521, 549, 603, 439, 576, 713, 686,
+      493, 686, 494)
+    lowerW.zipWithIndex.foreach { case (w, i) => m += ('a' + i) -> w }
+    m.result()
+  }
 
   // --- Standard-14 AFM widths (FN6) -----------------------------------
   // Adobe Core-14 AFM metrics (public Adobe data), ASCII range

@@ -102,6 +102,31 @@ class HtmlSpec extends AnyFunSuite {
         "outro paragraph long enough to be kept here too")
   }
 
+  test("pre edge rules: exactly ONE newline dropped; trailing ws kept (WHATWG 13.2)") {
+    val intro = "<p>intro paragraph long enough to be kept here fine</p>"
+    // <pre>\n\nx : first newline dropped, second is a real blank line
+    assert(extract(s"<body>$intro<pre>\n\ncode  line</pre></body>")
+      == "intro paragraph long enough to be kept here fine\n\n\ncode  line")
+    // leading CRLF counts as the one dropped newline
+    assert(extract(s"<body>$intro<pre>\r\n\ncode  line</pre></body>")
+      == "intro paragraph long enough to be kept here fine\n\n\ncode  line")
+    // trailing newline inside <pre> is content, not trimmed
+    assert(extract(s"<body>$intro<pre>\ncode  line\n</pre></body>")
+      == "intro paragraph long enough to be kept here fine\n\ncode  line\n")
+  }
+
+  test("table rows: td/th cells tab-joined into one block per row") {
+    val html = "<body><table>" +
+      "<tr><th>alpha header one</th><th>beta header two</th></tr>" +
+      "<tr><td>gamma value three</td><td>delta <b>value</b> four</td></tr>" +
+      "<tr><td>unclosed cell five<td>implied cell six</tr>" +
+      "</table></body>"
+    assert(extract(html) ==
+      "alpha header one\tbeta header two\n\n" +
+        "gamma value three\tdelta value four\n\n" +
+        "unclosed cell five\timplied cell six")
+  }
+
   test("spans: title + block indices") {
     val r = HtmlExtractor.extractFromString(
       "<html><head><title>T</title></head><body><h1>Head</h1>" +

@@ -185,4 +185,47 @@ class FontsSpec extends AnyFunSuite {
     }
     assert(ex.getMessage == "unsupported-cmap:GBK-EUC-H")
   }
+
+  test("Symbol/ZapfDingbats built-in encodings + Symbol AFM widths") {
+    assert(Glyphs.symbol('a') == 0x03B1) // alpha
+    assert(Glyphs.symbol('q') == 0x03B8) // theta (Symbol layout)
+    assert(Glyphs.symbol('W') == 0x03A9) // Omega
+    assert(Glyphs.symbol('J') == 0x03D1) // theta1
+    assert(Glyphs.symbol('5') == '5'.toInt)
+    assert(Glyphs.symbol(0x2D) == 0x2212) // minus sign
+    assert(Glyphs.dingbats(0x21) == 0x2701 && Glyphs.dingbats(0x7E) == 0x275E)
+    assert(Glyphs.symbolCodeWidths('a') == 631)
+    assert(Glyphs.symbolCodeWidths('m') == 576)
+    assert(Glyphs.symbolCodeWidths(0x20) == 250)
+    assert(Glyphs.defaultWidth("ZapfDingbats") == 740)
+  }
+
+  test("a /Symbol font without /Encoding or /Widths extracts Greek") {
+    val inflater = new java.util.zip.Inflater()
+    val objs = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> ("<< /Type /Page /Parent 2 0 R /Resources " +
+        "<< /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"),
+      4 -> {
+        val content = "BT /F1 12 Tf 72 720 Td (abgd wq) Tj ET"
+        s"<< /Length ${content.length} >>\nstream\n$content\nendstream"
+      },
+      5 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Symbol >>")
+    val sb = new StringBuilder("%PDF-1.7\n")
+    val offsets = scala.collection.mutable.Map.empty[Int, Int]
+    objs.foreach { case (n, body) =>
+      offsets(n) = sb.length
+      sb.append(s"$n 0 obj\n$body\nendobj\n")
+    }
+    val xref = sb.length
+    sb.append("xref\n0 6\n")
+    (0 to 5).foreach { n =>
+      if (n == 0) sb.append(f"${0}%010d 65535 f \n")
+      else sb.append(f"${offsets(n)}%010d 00000 n \n")
+    }
+    sb.append(s"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    val r = PdfExtractor.extract(sb.toString.getBytes("ISO-8859-1"), inflater)
+    assert(r.text == "\u03b1\u03b2\u03b3\u03b4 \u03c9\u03b8", r.text) // αβγδ ωθ
+  }
 }
