@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Native float-vector dot product with whole-stage codegen.
   *
@@ -70,6 +70,125 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All sign-bit LSH bucket keys of an embedding in one compiled pass:
+  * returns array<int> of length `tables`, where bit p of entry t is
+  * sign(dot(emb, hyperplane(t·planes+p))).
+  *
+  * Why a second custom expression (SURVEY §4.4): the composed per-plane
+  * formulation (`when(fvdot(emb, array(lit…)) > 0, 1<<p)…` summed)
+  * inlines tables × planes × dim float literals into the generated
+  * Java — at 4 tables × 16 planes × 64 dims Janino blows the 64 KB
+  * method limit (`Code grows beyond 64 KB`, observed r3) and Spark
+  * silently drops the WHOLE corpus-scan stage to interpreted
+  * execution. Here the plane matrix rides along as ONE referenced
+  * float[] object and the generated code is three small loops —
+  * codegen-friendly at any (tables, planes, dim).
+  *
+  * The plane matrix reproduces Similarity.hyperplane exactly
+  * (Random(9000+seed).nextGaussian, cast to float), and the arithmetic
+  * (float product, double accumulate, > 0 test) is bit-identical to
+  * the composed form — asserted in SimilaritySpec.
+  */
+case class FloatVecLshKeys(child: Expression, dim: Int, planes: Int, tables: Int,
+                           probes: Int = 0)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = GraftFunctions.LshName
+
+  /** Multi-probe masks (Hamming ≤ probes, ascending; [0] when probes=0).
+    * Output entry t·|masks|+i is baseKey(t) XOR masks(i), so callers
+    * recover the table id as pos / |masks|. Query-side multi-probe rode
+    * 176 separate element_at(fvlsh…) struct fields before — Janino's
+    * 64 KB limit again, on the query stage (observed r3).
+    */
+  @transient lazy val masks: Array[Int] =
+    (0 until (1 << planes)).filter(m => Integer.bitCount(m) <= math.max(probes, 0)).toArray
+
+  /** Flattened [table×plane][dim] hyperplane matrix (deterministic). */
+  @transient private lazy val flat: Array[Float] = {
+    val a = new Array[Float](tables * planes * dim)
+    var s = 0
+    while (s < tables * planes) {
+      val rng = new scala.util.Random(9000L + s)
+      var d = 0
+      while (d < dim) { a(s * dim + d) = rng.nextGaussian().toFloat; d += 1 }
+      s += 1
+    }
+    a
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), dim)
+    val nm = masks.length
+    val keys = new Array[Int](tables * nm)
+    var t = 0
+    while (t < tables) {
+      var key = 0
+      var p = 0
+      while (p < planes) {
+        val off = (t * planes + p) * dim
+        var s = 0.0
+        var d = 0
+        while (d < n) {
+          if (!x.isNullAt(d)) s += (x.getFloat(d) * flat(off + d)).toDouble
+          d += 1
+        }
+        if (s > 0) key |= (1 << p)
+        p += 1
+      }
+      var mi = 0
+      while (mi < nm) { keys(t * nm + mi) = key ^ masks(mi); mi += 1 }
+      t += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("lshPlanes", flat, "float[]")
+    val masksRef = ctx.addReferenceObj("lshMasks", masks, "int[]")
+    nullSafeCodeGen(ctx, ev, x => {
+      val keys = ctx.freshName("keys")
+      val n = ctx.freshName("n")
+      val t = ctx.freshName("t")
+      val p = ctx.freshName("p")
+      val off = ctx.freshName("off")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      val key = ctx.freshName("key")
+      val mi = ctx.freshName("mi")
+      val nm = ctx.freshName("nm")
+      s"""
+         |int $nm = $masksRef.length;
+         |int[] $keys = new int[$tables * $nm];
+         |int $n = java.lang.Math.min($x.numElements(), $dim);
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  int $key = 0;
+         |  for (int $p = 0; $p < $planes; $p++) {
+         |    int $off = ($t * $planes + $p) * $dim;
+         |    double $s = 0.0;
+         |    for (int $d = 0; $d < $n; $d++) {
+         |      if (!$x.isNullAt($d)) {
+         |        $s += (double)($x.getFloat($d) * $planesRef[$off + $d]);
+         |      }
+         |    }
+         |    if ($s > 0) $key |= (1 << $p);
+         |  }
+         |  for (int $mi = 0; $mi < $nm; $mi++) {
+         |    $keys[$t * $nm + $mi] = $key ^ $masksRef[$mi];
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($keys);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FloatVecLshKeys =
+    copy(child = newChild)
+}
+
 /** Column builders for the custom expressions. Construction goes
   * straight through the Column↔Expression bridge — no session, no
   * registry write per call. `register` additionally exposes the
@@ -79,11 +198,19 @@ case class FloatVecDot(left: Expression, right: Expression)
   */
 object GraftFunctions {
   val DotName = "graft_fvdot"
+  val LshName = "graft_fvlsh"
   import org.apache.spark.sql.graft.ColumnBridge
 
   /** Codegen'd float-vector dot product as a Column. */
   def fvdot(a: Column, b: Column): Column =
     ColumnBridge.column(FloatVecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Codegen'd all-tables LSH bucket keys as a Column (array<int>);
+    * `probes > 0` appends the multi-probe XOR neighborhood per table
+    * (entry t·|masks|+i, table id = pos / |masks|).
+    */
+  def fvlsh(emb: Column, dim: Int, planes: Int, tables: Int, probes: Int = 0): Column =
+    ColumnBridge.column(FloatVecLshKeys(ColumnBridge.expression(emb), dim, planes, tables, probes))
 
   /** Optional: expose graft_fvdot to SQL text on `spark`'s registry. */
   def register(spark: SparkSession): Unit =

@@ -84,6 +84,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.toSeq == Seq(10L, 14L, 12L), got.toSeq)
   }
 
+  test("FloatVecLshKeys is bit-identical to the composed per-plane formulation") {
+    val corpus = clustered(6, 20, 0.6)
+    val native = corpus.select(col("vec_id"),
+      Similarity.lshKeysArr(col("embedding"), dim, 6, 8).as("ks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val composed = corpus.select(col("vec_id"),
+      transform(Similarity.lshKeys(col("embedding"), dim, 6, 8),
+        s => s.getField("key")).as("ks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(native == composed)
+    // and the generated code path is active (no interpreted fallback):
+    // the big near-dup shape (16 planes x 4 tables) must compile
+    val big = corpus.select(Similarity.lshKeysArr(col("embedding"), dim, 16, 4).as("ks"))
+    assert(big.collect().forall(_.getSeq[Int](0).length == 4))
+  }
+
+  test("native multi-probe keys equal the composed probe formulation") {
+    val corpus = clustered(4, 10, 0.5)
+    val nMasks = Similarity.probeMaskCount(6, 2)
+    val native = corpus.select(col("vec_id"),
+      Similarity.lshProbeKeysArr(col("embedding"), dim, 6, 8, 2).as("ks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val composed = corpus.select(col("vec_id"),
+      transform(Similarity.lshProbeKeys(col("embedding"), dim, 6, 8, 2),
+        s => s.getField("key")).as("ks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(native == composed)
+    assert(native.head._2.length == 8 * nMasks)
+    // table id recovery: pos / nMasks
+    val tbls = corpus.limit(1).select(
+      posexplode(Similarity.lshProbeKeysArr(col("embedding"), dim, 6, 8, 2))
+        .as(Seq("pidx", "key")))
+      .select((col("pidx") / nMasks).cast("int")).collect().map(_.getInt(0))
+    assert(tbls.distinct.toSeq == (0 until 8), tbls.distinct.toSeq)
+  }
+
   test("LSH recall@10 >= 0.9 on a clustered corpus") {
     val corpus = clustered(20, 50, 0.15)
     val queries = corpus.filter(col("vec_id") % 100 === 0).limit(5)
