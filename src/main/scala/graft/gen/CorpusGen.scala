@@ -93,13 +93,13 @@ object CorpusGen {
       indirectLength = rng.nextInt(4) == 0,
       splitShow = i % 2 == 0, // fires when the showKind/posKind/fontKind gates align
       // ~25% of non-Type0 PDFs ship encrypted with an empty user
-      // password, cycling RC4-40 / RC4-128 / AES-128 (crawl-realistic
-      // owner-locked docs; Type0 docs keep their CIDSystemInfo strings
-      // plaintext so the whole file stays spec-honest unencrypted)
-      // cycle divisor 8 (not 4): a /4 cycle aligns mod 12 with the
-      // fontKind==3 gate and would never emit AES on non-zh docs
+      // password, cycling RC4-40 / RC4-128 / AES-128 / AES-256
+      // (crawl-realistic owner-locked docs; Type0 docs keep their
+      // CIDSystemInfo strings plaintext so the whole file stays
+      // spec-honest unencrypted). Cycle divisor 8 (not 4): a /4 cycle
+      // would align with other mod-4-coupled axes.
       encryptKind = if (fontKind == 3 || fontKind == 6) 0
-        else if (i % 4 == 1) 1 + ((i / 8) % 3) else 0)
+        else if (i % 4 == 1) 1 + ((i / 8) % 4) else 0)
   }
 
   /** WET-style flattened text: expected text with newlines as spaces —

@@ -61,8 +61,8 @@ object ErrorDocs {
   private val zeros64 = "0" * 64
   private val encPassword =
     s"<< /Filter /Standard /V 2 /R 3 /Length 128 /O <$zeros64> /U <$zeros64> /P -44 >>"
-  private val encUnsupported =
-    s"<< /Filter /Standard /V 5 /R 6 /Length 256 /O <$zeros64> /U <$zeros64> /P -44 >>"
+  private val encUnsupported = // /V 3 is the unpublished Adobe algorithm
+    s"<< /Filter /Standard /V 3 /R 3 /Length 128 /O <$zeros64> /U <$zeros64> /P -44 >>"
 
   /** (url, payload) rows covering the error taxonomy + healthy rows. */
   def docs(): Seq[(String, Array[Byte])] = Seq(

@@ -42,7 +42,8 @@ object PdfBuilder {
       splitShow: Boolean = false,
       /** Standard security handler, EMPTY user password (ISO 32000-1
         * §7.6.3): 0 none | 1 RC4-40 /V1 /R2 | 2 RC4-128 /V2 /R3 |
-        * 3 AES-128 /V4 /R4 /AESV2. Gated off for Type0 font kinds by
+        * 3 AES-128 /V4 /R4 /AESV2 | 4 AES-256 /V5 /R6 /AESV3
+        * (ISO 32000-2). Gated off for Type0 font kinds by
         * the corpus generator (their CIDSystemInfo carries top-level
         * strings we deliberately keep plaintext-free under encryption).
         */
@@ -617,32 +618,52 @@ object PdfBuilder {
     // stream data is encrypted at add time, keyed by object number)
     if (spec.encryptKind > 0) {
       import graft.pdf.Crypt
-      val (v, r, bits, aes) = spec.encryptKind match {
-        case 1 => (1, 2, 40, false)
-        case 2 => (2, 3, 128, false)
-        case _ => (4, 4, 128, true)
-      }
-      val n = bits / 8
-      val fileId = Array.fill(16)(rng.nextInt(256).toByte)
-      val oBytes = Crypt.ownerBytes(r, n) // empty owner AND user password
-      val perm = -44 // owner-locked permissions; the crawl-typical shape
-      val key = Crypt.fileKey(oBytes, perm, fileId, r, n)
-      val uBytes = {
-        val u = Crypt.userBytes(key, r, fileId)
-        if (r == 2) u else u ++ Array.fill(16)(rng.nextInt(256).toByte) // §Alg 5 f: 16 arbitrary pad bytes
-      }
       def hx(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02X").mkString
-      val encBody = v match {
-        case 1 => s"<< /Filter /Standard /V 1 /R 2 /O <${hx(oBytes)}> /U <${hx(uBytes)}> /P $perm >>"
-        case 2 => s"<< /Filter /Standard /V 2 /R 3 /Length $bits /O <${hx(oBytes)}> " +
-          s"/U <${hx(uBytes)}> /P $perm >>"
-        case _ => s"<< /Filter /Standard /V 4 /R 4 /Length $bits " +
-          "/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> " +
-          s"/StmF /StdCF /StrF /StdCF /O <${hx(oBytes)}> /U <${hx(uBytes)}> /P $perm >>"
-      }
+      val fileId = Array.fill(16)(rng.nextInt(256).toByte)
+      val perm = -44 // owner-locked permissions; the crawl-typical shape
+      val (encBody, decryptor) =
+        if (spec.encryptKind == 4) {
+          // AES-256 /V 5 /R 6 (ISO 32000-2): random file key wrapped by
+          // the empty-password KDF hashes; no per-object derivation
+          def salt8() = Array.fill(8)(rng.nextInt(256).toByte)
+          val none = Array.empty[Byte]
+          val (vS, kS, ovS, okS) = (salt8(), salt8(), salt8(), salt8())
+          val key = Array.fill(32)(rng.nextInt(256).toByte)
+          val u48 = Crypt.hash2B(6, none, vS, none) ++ vS ++ kS
+          val ue = Crypt.aesZeroIv(Crypt.hash2B(6, none, kS, none), key, encrypt = true)
+          val o48 = Crypt.hash2B(6, none, ovS, u48) ++ ovS ++ okS
+          val oe = Crypt.aesZeroIv(Crypt.hash2B(6, none, okS, u48), key, encrypt = true)
+          val body = "<< /Filter /Standard /V 5 /R 6 /Length 256 " +
+            "/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >> " +
+            s"/StmF /StdCF /StrF /StdCF /O <${hx(o48)}> /U <${hx(u48)}> " +
+            s"/OE <${hx(oe)}> /UE <${hx(ue)}> /P $perm >>"
+          (body, new Crypt.StdDecryptor(key, aes = true, direct = true))
+        } else {
+          val (v, r, bits, aes) = spec.encryptKind match {
+            case 1 => (1, 2, 40, false)
+            case 2 => (2, 3, 128, false)
+            case _ => (4, 4, 128, true)
+          }
+          val n = bits / 8
+          val oBytes = Crypt.ownerBytes(r, n) // empty owner AND user password
+          val key = Crypt.fileKey(oBytes, perm, fileId, r, n)
+          val uBytes = {
+            val u = Crypt.userBytes(key, r, fileId)
+            if (r == 2) u else u ++ Array.fill(16)(rng.nextInt(256).toByte) // §Alg 5 f: 16 arbitrary pad bytes
+          }
+          val body = v match {
+            case 1 => s"<< /Filter /Standard /V 1 /R 2 /O <${hx(oBytes)}> /U <${hx(uBytes)}> /P $perm >>"
+            case 2 => s"<< /Filter /Standard /V 2 /R 3 /Length $bits /O <${hx(oBytes)}> " +
+              s"/U <${hx(uBytes)}> /P $perm >>"
+            case _ => s"<< /Filter /Standard /V 4 /R 4 /Length $bits " +
+              "/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> " +
+              s"/StmF /StdCF /StrF /StdCF /O <${hx(oBytes)}> /U <${hx(uBytes)}> /P $perm >>"
+          }
+          (body, new Crypt.StdDecryptor(key, aes))
+        }
       // never packable: the /Encrypt dict may not live in an ObjStm (§7.5.7)
       val encNum = asm.add(encBody, packable = false)
-      asm.crypt = Some(new Crypt.StdDecryptor(key, aes))
+      asm.crypt = Some(decryptor)
       asm.cryptRng = rng
       asm.trailerExtra = s" /Encrypt $encNum 0 R /ID [<${hx(fileId)}> <${hx(fileId)}>]"
     }

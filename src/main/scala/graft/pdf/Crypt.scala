@@ -86,6 +86,55 @@ object Crypt {
     iv ++ c.doFinal(padded)
   }
 
+  private def sha(bits: Int, parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance(s"SHA-$bits")
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  /** AES-CBC with a ZERO IV and no padding — the /UE//OE file-key
+    * wrapping of /V 5 (ISO 32000-2 §7.6.4.4.8): exactly 32 bytes in,
+    * 32 out.
+    */
+  def aesZeroIv(key: Array[Byte], data: Array[Byte], encrypt: Boolean): Array[Byte] = {
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    val mode = if (encrypt) javax.crypto.Cipher.ENCRYPT_MODE else javax.crypto.Cipher.DECRYPT_MODE
+    c.init(mode, new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
+    c.doFinal(data)
+  }
+
+  /** /V 5 password hash: plain SHA-256(pw‖salt‖udata) for /R 5, the
+    * hardened Algorithm 2.B KDF for /R 6 (ISO 32000-2 §7.6.4.3.4):
+    * iterate K1 = (pw‖K‖udata)×64; E = AES-128-CBC(K[0:16], iv K[16:32],
+    * K1); K = SHA-{256,384,512}(E) picked by (Σ E[0:16]) mod 3 — the
+    * first 16 bytes as a big-endian integer mod 3 equals their byte sum
+    * mod 3 since 256 ≡ 1 (mod 3); stop after ≥64 rounds once
+    * E.last ≤ rounds−32.
+    */
+  def hash2B(r: Int, pw: Array[Byte], salt: Array[Byte], udata: Array[Byte]): Array[Byte] = {
+    var k = sha(256, pw, salt, udata)
+    if (r <= 5) return k
+    var round = 0
+    var done = false
+    while (!done) {
+      val unit = pw ++ k ++ udata
+      val k1 = new Array[Byte](unit.length * 64)
+      var i = 0
+      while (i < 64) { System.arraycopy(unit, 0, k1, i * unit.length, unit.length); i += 1 }
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(k, 0, 16, "AES"),
+        new javax.crypto.spec.IvParameterSpec(k, 16, 16))
+      val e = c.doFinal(k1)
+      val mod = e.take(16).map(_ & 0xff).sum % 3
+      k = sha(if (mod == 0) 256 else if (mod == 1) 384 else 512, e)
+      round += 1
+      done = round >= 64 && (e(e.length - 1) & 0xff) <= round - 32
+    }
+    java.util.Arrays.copyOf(k, 32)
+  }
+
   /** File encryption key, Algorithm 2, empty user password. `nBytes` =
     * /Length ÷ 8 (5 for /R 2).
     */
@@ -142,7 +191,8 @@ object Crypt {
     * object keys for RC4 / AESV2. Used by the extractor to decrypt and
     * by the generator to encrypt.
     */
-  final class StdDecryptor(fileKey: Array[Byte], val aes: Boolean) {
+  final class StdDecryptor(fileKey: Array[Byte], val aes: Boolean,
+                           val direct: Boolean = false) {
     private val aesSalt = Array[Byte](0x73, 0x41, 0x6C, 0x54) // "sAlT"
 
     def objKey(num: Int, gen: Int): Array[Byte] = {
@@ -155,12 +205,14 @@ object Crypt {
 
     def decrypt(num: Int, gen: Int, data: Array[Byte]): Array[Byte] =
       if (data.isEmpty) data
+      else if (direct) aesCbcDecrypt(fileKey, data) // /V 5: file key used as-is
       else if (aes) aesCbcDecrypt(objKey(num, gen), data)
       else rc4(objKey(num, gen), data)
 
     /** Generator-side inverse; `iv` ignored for RC4. */
     def encrypt(num: Int, gen: Int, data: Array[Byte], iv: Array[Byte]): Array[Byte] =
-      if (aes) aesCbcEncrypt(objKey(num, gen), iv, data)
+      if (direct) aesCbcEncrypt(fileKey, iv, data)
+      else if (aes) aesCbcEncrypt(objKey(num, gen), iv, data)
       else rc4(objKey(num, gen), data)
 
     /** Decrypt every string and stream body in an indirect object's
@@ -182,9 +234,10 @@ object Crypt {
 
   /** Build a decryptor from the /Encrypt dictionary, or a typed error
     * tag: `encrypted:password` (non-empty user password),
-    * `encrypted:unsupported` (non-Standard handler / /V 3 / /V ≥ 5 /
-    * crypt filters other than StdCF-for-everything), or `encrypted`
-    * (malformed dict).
+    * `encrypted:unsupported` (non-Standard handler / /V 3 / crypt
+    * filters other than StdCF-for-everything), or `encrypted`
+    * (malformed dict). Supports /V 1, 2, 4 (RC4/AES-128, Algorithms
+    * 1–5) and /V 5 (AES-256, /R 5–6).
     */
   def forDocument(enc: PDict, resolve: PdfObj => PdfObj,
                   firstId: Array[Byte]): Either[String, StdDecryptor] = {
@@ -199,11 +252,40 @@ object Crypt {
     }
     if (!name("Filter").contains("Standard")) return Left("encrypted:unsupported")
     val v = intAt("V").getOrElse(0L).toInt
-    if (v != 1 && v != 2 && v != 4) return Left("encrypted:unsupported")
-    val r = intAt("R").getOrElse(if (v == 4) 4L else if (v == 2) 3L else 2L).toInt
-    if (r < 2 || r > 4) return Left("encrypted:unsupported")
+    if (v != 1 && v != 2 && v != 4 && v != 5) return Left("encrypted:unsupported")
     val o = strAt("O").getOrElse(return Left("encrypted"))
     val u = strAt("U").getOrElse(return Left("encrypted"))
+    if (v == 5) {
+      // AES-256 (ISO 32000-2 §7.6.4): /R 5 (deprecated) or /R 6.
+      // U = hash(32) ‖ validationSalt(8) ‖ keySalt(8); empty-user-
+      // password check is pure hashing, then /UE unwraps the file key.
+      val r5 = intAt("R").getOrElse(6L).toInt
+      if (r5 != 5 && r5 != 6) return Left("encrypted:unsupported")
+      val stmF = name("StmF").getOrElse("Identity")
+      val strF = name("StrF").getOrElse("Identity")
+      if (stmF != "StdCF" || strF != "StdCF") return Left("encrypted:unsupported")
+      val cfm5 = resolve(enc.get("CF").getOrElse(PNull)) match {
+        case d: PDict => resolve(d.get("StdCF").getOrElse(PNull)) match {
+          case sd: PDict => resolve(sd.get("CFM").getOrElse(PNull))
+          case _ => PNull
+        }
+        case _ => PNull
+      }
+      if (cfm5 != PName("AESV3")) return Left("encrypted:unsupported")
+      val ue = strAt("UE").getOrElse(return Left("encrypted"))
+      if (u.length < 48 || ue.length < 32) return Left("encrypted")
+      val expect = java.util.Arrays.copyOf(u, 32)
+      val vSalt = java.util.Arrays.copyOfRange(u, 32, 40)
+      val kSalt = java.util.Arrays.copyOfRange(u, 40, 48)
+      val none = Array.empty[Byte]
+      if (!java.util.Arrays.equals(hash2B(r5, none, vSalt, none), expect))
+        return Left("encrypted:password")
+      val inter = hash2B(r5, none, kSalt, none)
+      val fileKey = aesZeroIv(inter, java.util.Arrays.copyOf(ue, 32), encrypt = false)
+      return Right(new StdDecryptor(fileKey, aes = true, direct = true))
+    }
+    val r = intAt("R").getOrElse(if (v == 4) 4L else if (v == 2) 3L else 2L).toInt
+    if (r < 2 || r > 4) return Left("encrypted:unsupported")
     val p = intAt("P").getOrElse(return Left("encrypted")).toInt
     val encMeta = resolve(enc.get("EncryptMetadata").getOrElse(PNull)) match {
       case PBool(b) => b

@@ -70,9 +70,9 @@ class CryptSpec extends AnyFunSuite {
     PdfBuilder.build(spec, paras, new Random(99))
   }
 
-  test("encrypted documents extract byte-identically (RC4-40, RC4-128, AES-128)") {
+  test("encrypted documents extract byte-identically (RC4-40/128, AES-128, AES-256)") {
     for {
-      ek <- 1 to 3
+      ek <- 1 to 4
       xk <- Seq(0, 1, 2, 3, 4)
     } {
       val b = build(ek, xk)
@@ -92,6 +92,15 @@ class CryptSpec extends AnyFunSuite {
 
   test("non-empty user password is a typed error row: encrypted:password") {
     val b = build(2, 0)
+    // AES-256: a corrupted /U validation hash must also fail typed
+    val b5 = build(4, 0)
+    val s5 = new String(b5.bytes, "ISO-8859-1")
+    val j = s5.indexOf("/U <") + 4
+    val flip5 = s5.substring(0, j) + (if (s5.charAt(j) == '0') "1" else "0") + s5.substring(j + 1)
+    val ex5 = intercept[Exception] {
+      PdfExtractor.extract(flip5.getBytes("ISO-8859-1"), inflater)
+    }
+    assert(ex5.getMessage == "encrypted:password", ex5.getMessage)
     // corrupt /U in place: the hex string after "/U <" (empty-password
     // verification must then fail without throwing anything untyped)
     val s = new String(b.bytes, "ISO-8859-1")
@@ -106,8 +115,8 @@ class CryptSpec extends AnyFunSuite {
   test("unsupported handlers/versions are typed: encrypted:unsupported") {
     val b = build(2, 0)
     val s = new String(b.bytes, "ISO-8859-1")
-    val v5 = s.replace("/Filter /Standard /V 2 /R 3", "/Filter /Standard /V 5 /R 6")
-    val e1 = intercept[Exception] { PdfExtractor.extract(v5.getBytes("ISO-8859-1"), inflater) }
+    val v3 = s.replace("/Filter /Standard /V 2 /R 3", "/Filter /Standard /V 3 /R 3")
+    val e1 = intercept[Exception] { PdfExtractor.extract(v3.getBytes("ISO-8859-1"), inflater) }
     assert(e1.getMessage == "encrypted:unsupported")
     val alien = s.replace("/Filter /Standard", "/Filter /AcmeSec")
     val e2 = intercept[Exception] { PdfExtractor.extract(alien.getBytes("ISO-8859-1"), inflater) }
@@ -118,7 +127,7 @@ class CryptSpec extends AnyFunSuite {
     val kinds = (0 until 600 by 3).map { id =>
       CorpusGen.pdfSpec(id.toLong, CorpusGen.langOf(id.toLong), new Random(42 + id)).encryptKind
     }
-    assert(Seq(1, 2, 3).forall(kinds.contains), kinds.distinct.sorted)
+    assert(Seq(1, 2, 3, 4).forall(kinds.contains), kinds.distinct.sorted)
     // 25% of PDFs minus the Type0 (zh / fontKind 3,6) gate ≈ 13.5%
     assert(kinds.count(_ > 0) * 8 >= kinds.size, "expected >=12.5% encrypted")
   }
