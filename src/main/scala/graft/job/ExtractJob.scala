@@ -42,7 +42,8 @@ object ExtractJob {
         if (PdfExtractor.isPdf(bytes)) {
           val r = PdfExtractor.extract(bytes, inflater)
           ExtractedRow(row.bucket, row.url, "pdf", r.text, r.spans, r.nPages,
-            r.text.length, bytes.length.toLong, ms(t0), None)
+            r.text.length, bytes.length.toLong, ms(t0), None,
+            if (r.warns.isEmpty) None else Some(r.warns.mkString(";")))
         } else {
           val r = HtmlExtractor.extract(bytes)
           ExtractedRow(row.bucket, row.url, "html", r.text, r.spans, r.nBlocks,

@@ -34,7 +34,13 @@ final case class Extracted(
     charCount: Int,
     bytesIn: Long,
     parseMillis: Long,
-    error: Option[String])
+    error: Option[String],
+    /** Non-fatal per-font degradation tags (';'-joined), e.g. a muted
+      * unsupported-cmap font whose shows were skipped while the rest of
+      * the document extracted fine. Countable like `error`, but the row
+      * still carries text (no-silent-caps rule).
+      */
+    warn: Option[String] = None)
 
 /** Pruned + bucketed input of the typed transform (M1). */
 final case class BucketedRow(bucket: Int, url: String, html: Array[Byte])
@@ -50,7 +56,8 @@ final case class ExtractedRow(
     charCount: Int,
     bytesIn: Long,
     parseMillis: Long,
-    error: Option[String])
+    error: Option[String],
+    warn: Option[String] = None)
 
 /** Checkpoint/lineage row, appended per completed bucket (SURVEY.md §1.3).
   * Resume anti-joins input buckets against `status = "done"` rows.

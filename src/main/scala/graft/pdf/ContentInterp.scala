@@ -87,17 +87,30 @@ object ContentInterp {
   private val MaxChars = 1 << 24
   private val MaxFormDepth = 12
 
-  /** Interpret one page's (decoded) content; returns assembled text. */
+  /** Interpret one page's (decoded) content; returns assembled text.
+    * `warns` (when non-null) collects per-FONT degradation tags: a font
+    * whose CMap is unsupported mutes ITS shows and records the tag,
+    * instead of failing the whole document — one exotic font must not
+    * cost the rest of an otherwise extractable document (ADVICE r2).
+    * The caller decides doc-level error when ALL text was lost.
+    */
   def run(doc: PdfDocument, content: Array[Byte], resources: PDict,
-          fontCache: mutable.Map[PdfObj, FontInfo]): String = {
+          fontCache: mutable.Map[PdfObj, FontInfo],
+          warns: mutable.Set[String] = null): String = {
     val asm = new PageAssembler
-    exec(doc, content, resources, fontCache, asm, Mat.I, 0)
+    exec(doc, content, resources, fontCache, asm, Mat.I, 0, warns)
     asm.result()
   }
 
+  /** A font whose every code decodes to "" (degraded rendering). */
+  private def mutedFont(name: String): FontInfo =
+    FontInfo(name, "Type0", 2, ToUnicodeCMap.empty, null, Map.empty,
+      Map.empty, 1000, isType0 = true, identityCid = false)
+
   private def exec(doc: PdfDocument, content: Array[Byte], resources: PDict,
                    fontCache: mutable.Map[PdfObj, FontInfo],
-                   asm: PageAssembler, ctm0: Mat, depth: Int): Unit = {
+                   asm: PageAssembler, ctm0: Mat, depth: Int,
+                   warns: mutable.Set[String] = null): Unit = {
     if (depth > MaxFormDepth) return
     val lx = new Lexer(content)
     val stack = new mutable.ArrayBuffer[PdfObj](8)
@@ -125,13 +138,21 @@ object ContentInterp {
       tfs = size
       val entry = fontDicts.get(name).getOrElse(PNull)
       if (entry != PNull) {
-        font = fontCache.getOrElseUpdate(entry, {
-          doc.resolve(entry) match {
-            case d: PDict => Fonts.load(doc, name, d)
-            case _ => FontInfo(name, "Type1", 1, ToUnicodeCMap.empty,
-              Glyphs.standard, Map.empty, Map.empty, 500, isType0 = false, identityCid = false)
+        font =
+          try fontCache.getOrElseUpdate(entry, {
+            doc.resolve(entry) match {
+              case d: PDict => Fonts.load(doc, name, d)
+              case _ => FontInfo(name, "Type1", 1, ToUnicodeCMap.empty,
+                Glyphs.standard, Map.empty, Map.empty, 500, isType0 = false, identityCid = false)
+            }
+          })
+          catch {
+            case e: Fonts.UnsupportedCMapException if warns != null =>
+              warns += e.getMessage
+              val m = mutedFont(name)
+              fontCache.update(entry, m) // don't re-load (and re-throw) per Tf
+              m
           }
-        })
       } else if (font == null) {
         font = FontInfo(name, "Type1", 1, ToUnicodeCMap.empty,
           Glyphs.standard, Map.empty, Map.empty, 500, isType0 = false, identityCid = false)
@@ -245,7 +266,7 @@ object ContentInterp {
                 .getOrElse(resources)
               val data = try doc.decodeStream(s) catch { case _: Exception => Array.empty[Byte] }
               if (data.nonEmpty)
-                exec(doc, data, formRes, fontCache, asm, mtx * ctm, depth + 1)
+                exec(doc, data, formRes, fontCache, asm, mtx * ctm, depth + 1, warns)
             case _ => () // Image: ignore
           }
         case _ => ()

@@ -11,7 +11,8 @@ import scala.collection.mutable
   */
 object PdfExtractor {
 
-  final case class PdfResult(text: String, spans: Vector[Span], nPages: Int)
+  final case class PdfResult(text: String, spans: Vector[Span], nPages: Int,
+                             warns: Vector[String] = Vector.empty)
 
   def isPdf(bytes: Array[Byte]): Boolean =
     bytes.length >= 5 && bytes(0) == '%' && bytes(1) == 'P' &&
@@ -23,6 +24,7 @@ object PdfExtractor {
   def extract(bytes: Array[Byte], inflater: java.util.zip.Inflater): PdfResult = {
     val doc = new PdfDocument(bytes, inflater)
     val fontCache = mutable.Map.empty[PdfObj, FontInfo]
+    val warns = mutable.LinkedHashSet.empty[String] // first-seen order
     val sb = new java.lang.StringBuilder(1024)
     val spans = Vector.newBuilder[Span]
     var pageIdx = 0
@@ -31,7 +33,7 @@ object PdfExtractor {
       val content = doc.pageContent(page)
       val text =
         if (content.isEmpty) ""
-        else ContentInterp.run(doc, content, page.resources, fontCache)
+        else ContentInterp.run(doc, content, page.resources, fontCache, warns)
       if (text.nonEmpty) {
         if (emitted > 0) sb.append(Assembly.UnitJoin)
         val start = sb.length
@@ -41,6 +43,10 @@ object PdfExtractor {
       }
       pageIdx += 1
     }
-    PdfResult(sb.toString, spans.result(), doc.pages.size)
+    // per-font degradation recovered NOTHING → the whole document is
+    // the countable error row it always was (x6 taxonomy contract)
+    if (sb.length == 0 && warns.nonEmpty)
+      throw new RuntimeException(warns.head)
+    PdfResult(sb.toString, spans.result(), doc.pages.size, warns.toVector)
   }
 }

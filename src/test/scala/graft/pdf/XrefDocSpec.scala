@@ -129,6 +129,26 @@ class XrefDocSpec extends AnyFunSuite {
     assert(r.text == "ABCD", s"got '${r.text}'")
   }
 
+  test("per-font degradation: an unsupported font mutes ITS shows, not the document") {
+    val objs = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> ("<< /Type /Page /Parent 2 0 R /Resources " +
+        "<< /Font << /F1 5 0 R /F2 6 0 R >> >> /Contents 4 0 R >>"),
+      4 -> {
+        val c = "BT /F1 12 Tf 72 720 Td (Good text) Tj " +
+          "/F2 12 Tf 0 -14.4 Td <BABA> Tj /F1 12 Tf 0 -14.4 Td (more good) Tj ET"
+        s"<< /Length ${c.length} >>\nstream\n$c\nendstream"
+      },
+      5 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>",
+      6 -> ("<< /Type /Font /Subtype /Type0 /BaseFont /STSong-Light " +
+        "/Encoding /GBK-EUC-H /DescendantFonts [7 0 R] >>"),
+      7 -> "<< /Type /Font /Subtype /CIDFontType0 /BaseFont /STSong-Light >>")
+    val r = PdfExtractor.extract(pdf(objs), inf)
+    assert(r.text == "Good text\nmore good", r.text)
+    assert(r.warns == Vector("unsupported-cmap:GBK-EUC-H"), r.warns)
+  }
+
   test("Type0 with BYTE-oriented predefined CID CMap: distinct countable error") {
     // Uni*-UCS2/UTF16 CMaps decode as UTF-16BE since r3 (FontsSpec);
     // byte-oriented orderings like GBK-EUC-H still need Adobe tables
