@@ -115,6 +115,9 @@ object Crypt {
   def hash2B(r: Int, pw: Array[Byte], salt: Array[Byte], udata: Array[Byte]): Array[Byte] = {
     var k = sha(256, pw, salt, udata)
     if (r <= 5) return k
+    // one Cipher for all >=64 rounds (getInstance hits the synchronized
+    // JCE registry; init per round is cheap)
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
     var round = 0
     var done = false
     while (!done) {
@@ -122,7 +125,6 @@ object Crypt {
       val k1 = new Array[Byte](unit.length * 64)
       var i = 0
       while (i < 64) { System.arraycopy(unit, 0, k1, i * unit.length, unit.length); i += 1 }
-      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
       c.init(javax.crypto.Cipher.ENCRYPT_MODE,
         new javax.crypto.spec.SecretKeySpec(k, 0, 16, "AES"),
         new javax.crypto.spec.IvParameterSpec(k, 16, 16))
@@ -195,25 +197,91 @@ object Crypt {
                            val direct: Boolean = false) {
     private val aesSalt = Array[Byte](0x73, 0x41, 0x6C, 0x54) // "sAlT"
 
+    // JCE getInstance calls hit the synchronized provider registry —
+    // per-CALL lookups serialize 16 executor threads on the decrypt hot
+    // path (measured as an N→4N scaling drag, r3). A StdDecryptor is
+    // per-document and single-threaded, so hold ONE digest and ONE
+    // cipher and re-init per use (init is cheap, lookup is not).
+    @transient private lazy val mdInst =
+      java.security.MessageDigest.getInstance("MD5")
+    @transient private lazy val aesInst =
+      javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+
     def objKey(num: Int, gen: Int): Array[Byte] = {
-      val tail = Array[Byte](
+      mdInst.reset()
+      mdInst.update(fileKey)
+      mdInst.update(Array[Byte](
         (num & 0xff).toByte, ((num >> 8) & 0xff).toByte, ((num >> 16) & 0xff).toByte,
-        (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte)
-      val h = md5(fileKey, tail, if (aes) aesSalt else Array.empty[Byte])
+        (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte))
+      if (aes) mdInst.update(aesSalt)
+      val h = mdInst.digest()
       java.util.Arrays.copyOf(h, math.min(fileKey.length + 5, 16))
+    }
+
+    private def aesRun(key: Array[Byte], data: Array[Byte], off: Int,
+                       iv: Array[Byte], ivOff: Int, enc: Boolean): Array[Byte] = {
+      val mode = if (enc) javax.crypto.Cipher.ENCRYPT_MODE else javax.crypto.Cipher.DECRYPT_MODE
+      aesInst.init(mode, new javax.crypto.spec.SecretKeySpec(key, "AES"),
+        new javax.crypto.spec.IvParameterSpec(iv, ivOff, 16))
+      aesInst.doFinal(data, off, data.length - off)
+    }
+
+    private def aesDecryptCached(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+      if (data.length < 32 || data.length % 16 != 0) return Array.empty[Byte]
+      val plain = aesRun(key, data, 16, data, 0, enc = false)
+      val padN = plain(plain.length - 1) & 0xff
+      if (padN >= 1 && padN <= 16 && padN <= plain.length)
+        java.util.Arrays.copyOfRange(plain, 0, plain.length - padN)
+      else plain
+    }
+
+    /** RC4 decrypt IN PLACE: every buffer reaching here is a fresh
+      * private copy (lexer string bytes / copyOfRange stream raw), and
+      * the box is memory-bandwidth-bound at 16 cores — the extra
+      * out-array per encrypted stream measurably drags N→4N scaling.
+      */
+    private def rc4InPlace(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+      val s = new Array[Int](256)
+      var i = 0
+      while (i < 256) { s(i) = i; i += 1 }
+      var j = 0
+      i = 0
+      while (i < 256) {
+        j = (j + s(i) + (key(i % key.length) & 0xff)) & 0xff
+        val t = s(i); s(i) = s(j); s(j) = t
+        i += 1
+      }
+      var x = 0
+      var y = 0
+      var k = 0
+      while (k < data.length) {
+        x = (x + 1) & 0xff
+        y = (y + s(x)) & 0xff
+        val t = s(x); s(x) = s(y); s(y) = t
+        data(k) = (data(k) ^ s((s(x) + s(y)) & 0xff)).toByte
+        k += 1
+      }
+      data
     }
 
     def decrypt(num: Int, gen: Int, data: Array[Byte]): Array[Byte] =
       if (data.isEmpty) data
-      else if (direct) aesCbcDecrypt(fileKey, data) // /V 5: file key used as-is
-      else if (aes) aesCbcDecrypt(objKey(num, gen), data)
-      else rc4(objKey(num, gen), data)
+      else if (direct) aesDecryptCached(fileKey, data) // /V 5: file key used as-is
+      else if (aes) aesDecryptCached(objKey(num, gen), data)
+      else rc4InPlace(objKey(num, gen), data)
 
     /** Generator-side inverse; `iv` ignored for RC4. */
-    def encrypt(num: Int, gen: Int, data: Array[Byte], iv: Array[Byte]): Array[Byte] =
-      if (direct) aesCbcEncrypt(fileKey, iv, data)
-      else if (aes) aesCbcEncrypt(objKey(num, gen), iv, data)
+    def encrypt(num: Int, gen: Int, data: Array[Byte], iv: Array[Byte]): Array[Byte] = {
+      def enc(key: Array[Byte]): Array[Byte] = {
+        val padN = 16 - (data.length % 16)
+        val padded = java.util.Arrays.copyOf(data, data.length + padN)
+        java.util.Arrays.fill(padded, data.length, padded.length, padN.toByte)
+        iv ++ aesRun(key, padded, 0, iv, 0, enc = true)
+      }
+      if (direct) enc(fileKey)
+      else if (aes) enc(objKey(num, gen))
       else rc4(objKey(num, gen), data)
+    }
 
     /** Decrypt every string and stream body in an indirect object's
       * tree (§7.6.2: strings and streams are the encrypted classes;
@@ -221,15 +289,29 @@ object Crypt {
       * (§7.5.8.2); objects INSIDE object streams are skipped by the
       * caller (the ObjStm stream body itself was the encrypted unit).
       */
-    def decryptObj(num: Int, gen: Int, o: PdfObj): PdfObj = o match {
-      case PString(b) => PString(decrypt(num, gen, b))
-      case PArray(items) => PArray(items.map(decryptObj(num, gen, _)))
-      case PDict(m) => PDict(m.map { case (k, v) => k -> decryptObj(num, gen, v) })
-      case PStream(d, raw) =>
-        if (d.get("Type").contains(PName("XRef"))) PStream(d, raw)
-        else PStream(decryptObj(num, gen, d).asInstanceOf[PDict], decrypt(num, gen, raw))
-      case other => other
+    /** True iff the tree contains anything the handler encrypts. Most
+      * indirect objects (page dicts, fonts, numbers) carry no strings —
+      * skipping the rebuild avoids re-allocating every dict/array of
+      * every object in an encrypted document.
+      */
+    private def hasEncryptable(o: PdfObj): Boolean = o match {
+      case _: PString | _: PStream => true
+      case PArray(items) => items.exists(hasEncryptable)
+      case PDict(m) => m.valuesIterator.exists(hasEncryptable)
+      case _ => false
     }
+
+    def decryptObj(num: Int, gen: Int, o: PdfObj): PdfObj =
+      if (!hasEncryptable(o)) o
+      else o match {
+        case PString(b) => PString(decrypt(num, gen, b))
+        case PArray(items) => PArray(items.map(decryptObj(num, gen, _)))
+        case PDict(m) => PDict(m.map { case (k, v) => k -> decryptObj(num, gen, v) })
+        case PStream(d, raw) =>
+          if (d.get("Type").contains(PName("XRef"))) PStream(d, raw)
+          else PStream(decryptObj(num, gen, d).asInstanceOf[PDict], decrypt(num, gen, raw))
+        case other => other
+      }
   }
 
   /** Build a decryptor from the /Encrypt dictionary, or a typed error
