@@ -111,6 +111,7 @@ object SparkEntry {
       extractSmall(s).groupBy("bucket", "kind")
         .agg(count(lit(1)).as("nDocs"),
           sum(when(col("error").isNotNull, 1L).otherwise(0L)).as("nErr"),
+          sum(when(col("warn").isNotNull, 1L).otherwise(0L)).as("nWarn"), // degraded-but-recovered (r3)
           sum("charCount").as("charsOut"), sum("bytesIn").as("bytesIn"),
           approx_count_distinct(col("url")).as("approxUrls")) // SURVEY §2.6 sanity
         .orderBy("bucket", "kind")),
