@@ -359,6 +359,7 @@ object SparkEntry {
       "x6_error_taxonomy" ->
         ("SELECT * FROM (VALUES " +
           "('err://cjk-cmap', 'error', 'unsupported-cmap:GBK-EUC-H'), " +
+          "('err://cmap-embedded', 'error', 'unsupported-cmap:embedded'), " +
           "('err://ok-cjk-ucs2', 'pdf', 'ok'), " +
           "('err://empty', 'html', 'ok'), " +
           "('err://encrypted', 'error', 'encrypted'), " +

@@ -54,6 +54,18 @@ object ErrorDocs {
     "<< /Type /Font /Subtype /Type0 /BaseFont /STSong-Light " +
       "/Encoding /UniGB-UCS2-H /DescendantFonts [6 0 R] >>"
 
+  /** Embedded CMap stream as /Encoding (legal, §9.7.6.2): code→CID
+    * needs the descendant's ordering tables → DISTINCT typed tag
+    * (ADVICE r2), not the generic `:none`.
+    */
+  private val embeddedCMapFont =
+    "<< /Type /Font /Subtype /Type0 /BaseFont /Custom-CID " +
+      "/Encoding 7 0 R /DescendantFonts [6 0 R] >>"
+  private val embeddedCMapStream = {
+    val body = "%!PS-Adobe-3.0 Resource-CMap\n1 begincidrange\n<00> <FF> 0\nendcidrange\n"
+    s"<< /Length ${body.length} >>\nstream\n$body\nendstream"
+  }
+
   /** /Encrypt dict with a /U that matches NO password (all-zero O/U):
     * decryptable-looking structure, wrong credentials → the empty-user-
     * password attempt must fail TYPED, not garble text.
@@ -74,6 +86,8 @@ object ErrorDocs {
     ("err://encrypted-unsupported",
       pdf(helvetica, trailerExtra = " /Encrypt 7 0 R", extraObjs = Seq(7 -> encUnsupported))),
     ("err://cjk-cmap", pdf(cjkNoToUnicode)),
+    ("err://cmap-embedded",
+      pdf(embeddedCMapFont, extraObjs = Seq(7 -> embeddedCMapStream))),
     // UTF-16BE hex codes for 漢字文本 — decodes via the CMap name alone
     ("err://ok-cjk-ucs2", pdf(cjkUcs2, show = "<6F225B576587672C> Tj")),
     ("err://pdf-junk", latin1("%PDF-1.7\njust junk, no objects at all")),
