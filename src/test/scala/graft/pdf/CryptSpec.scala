@@ -56,6 +56,51 @@ class CryptSpec extends AnyFunSuite {
     }
   }
 
+  test("V4 /EncryptMetadata false derives the FF-salted key (Algorithm 2 step f)") {
+    import PdfObj._
+    val id = Array.tabulate(16)(i => (i * 31 + 7).toByte)
+    val o = Crypt.ownerBytes(4, 16)
+    val key = Crypt.fileKey(o, -44, id, 4, 16, encryptMetadata = false)
+    val keyDefault = Crypt.fileKey(o, -44, id, 4, 16)
+    assert(key.toSeq != keyDefault.toSeq, "FF salt must change the key")
+    val u = Crypt.userBytes(key, 4, id) ++ new Array[Byte](16)
+    def dict(metaFlag: Boolean) = PDict(Map(
+      "Filter" -> PName("Standard"), "V" -> PInt(4), "R" -> PInt(4),
+      "Length" -> PInt(128),
+      "CF" -> PDict(Map("StdCF" -> PDict(Map("CFM" -> PName("AESV2"))))),
+      "StmF" -> PName("StdCF"), "StrF" -> PName("StdCF"),
+      "O" -> PString(o), "U" -> PString(u), "P" -> PInt(-44),
+      "EncryptMetadata" -> PBool(metaFlag)))
+    assert(Crypt.forDocument(dict(false), identity, id).isRight)
+    // same U under the DEFAULT (true) flag must read as a wrong password
+    assert(Crypt.forDocument(dict(true), identity, id) == Left("encrypted:password"))
+  }
+
+  test("V5 R5 (deprecated plain-SHA-256 revision) validates and unwraps") {
+    import PdfObj._
+    val rng = new Random(31)
+    def salt8() = Array.fill(8)(rng.nextInt(256).toByte)
+    val none = Array.empty[Byte]
+    val (vS, kS) = (salt8(), salt8())
+    val fileKey = Array.fill(32)(rng.nextInt(256).toByte)
+    val u48 = Crypt.hash2B(5, none, vS, none) ++ vS ++ kS
+    val ue = Crypt.aesZeroIv(Crypt.hash2B(5, none, kS, none), fileKey, encrypt = true)
+    val dict = PDict(Map(
+      "Filter" -> PName("Standard"), "V" -> PInt(5), "R" -> PInt(5),
+      "Length" -> PInt(256),
+      "CF" -> PDict(Map("StdCF" -> PDict(Map("CFM" -> PName("AESV3"))))),
+      "StmF" -> PName("StdCF"), "StrF" -> PName("StdCF"),
+      "O" -> PString(new Array[Byte](48)), "U" -> PString(u48),
+      "UE" -> PString(ue), "P" -> PInt(-44)))
+    val dec = Crypt.forDocument(dict, identity, Array.empty[Byte])
+    assert(dec.isRight, dec)
+    // roundtrip one payload through the unwrapped file key
+    val data = Array.tabulate(100)(_.toByte)
+    val iv = Array.fill(16)(rng.nextInt(256).toByte)
+    val ct = Crypt.aesCbcEncrypt(fileKey, iv, data)
+    assert(dec.toOption.get.decrypt(1, 0, ct).toSeq == data.toSeq)
+  }
+
   /** One-page doc through PdfBuilder with the given axes. */
   private def build(encryptKind: Int, xrefKind: Int, fontKind: Int = 0,
                     filterKind: Int = 1, indirectLength: Boolean = false): PdfBuilder.Built = {
