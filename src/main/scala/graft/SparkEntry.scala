@@ -170,6 +170,27 @@ object SparkEntry {
         .select("user_id", "event_id", "event_type")
         .orderBy("user_id")
     }),
+    // gap-based sessionization (30-min inactivity): lag -> break flag ->
+    // running-sum session ids -> per-session rollup. The canonical
+    // event-pipeline window composition (lag + cumulative sum), fully
+    // ANSI-expressible -> DuckDB-oracled.
+    "q15_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val prevTs = lag(col("ts"), 1).over(w)
+      // events.ts is TIMESTAMP_NTZ: hop through TIMESTAMP (session tz is
+      // pinned UTC) to get epoch seconds, mirroring DuckDB's EXTRACT(EPOCH)
+      def epoch(c: org.apache.spark.sql.Column) = c.cast("timestamp").cast("long")
+      val newSess = when(prevTs.isNull ||
+        epoch(col("ts")) - epoch(prevTs) > 1800, 1L).otherwise(0L)
+      events(s, dir)
+        .withColumn("sess", sum(newSess).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sess")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("t_start"), max(col("ts")).as("t_end"))
+        .select(col("user_id"), col("sess"), col("n_events"), col("t_start"), col("t_end"))
+        .orderBy("user_id", "sess")
+    }),
     "q7_topk" -> ((s, dir) =>
       docs(s, dir).orderBy(col("n_chars").desc, col("doc_id").asc)
         .select("doc_id", "n_chars").limit(10)),
@@ -326,6 +347,18 @@ object SparkEntry {
           "SELECT user_id, event_id, event_type, " +
           "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
           "FROM events) t WHERE rn = 1 ORDER BY user_id"),
+      "q15_sessionize" ->
+        ("WITH flagged AS (SELECT user_id, event_id, ts, " +
+          "CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL " +
+          "OR EXTRACT(EPOCH FROM ts) - EXTRACT(EPOCH FROM LAG(ts) OVER " +
+          "(PARTITION BY user_id ORDER BY ts, event_id)) > 1800 THEN 1 ELSE 0 END AS brk " +
+          "FROM events), " +
+          "sess AS (SELECT user_id, ts, CAST(SUM(brk) OVER " +
+          "(PARTITION BY user_id ORDER BY ts, event_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess " +
+          "FROM flagged) " +
+          "SELECT user_id, sess, COUNT(*) AS n_events, MIN(ts) AS t_start, MAX(ts) AS t_end " +
+          "FROM sess GROUP BY user_id, sess ORDER BY user_id, sess"),
       "q7_topk" ->
         "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 10",
       "q8_rollup" ->
