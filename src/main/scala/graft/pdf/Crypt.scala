@@ -132,7 +132,9 @@ object Crypt {
       val mod = e.take(16).map(_ & 0xff).sum % 3
       k = sha(if (mod == 0) 256 else if (mod == 1) 384 else 512, e)
       round += 1
-      done = round >= 64 && (e(e.length - 1) & 0xff) <= round - 32
+      // expected stop ≈ round 64–300 (E is cipher output); the hard cap
+      // guarantees termination on any input — a worker must never hang
+      done = (round >= 64 && (e(e.length - 1) & 0xff) <= round - 32) || round >= 4096
     }
     java.util.Arrays.copyOf(k, 32)
   }

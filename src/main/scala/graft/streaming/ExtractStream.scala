@@ -18,7 +18,7 @@ object ExtractStream {
   final case class StreamExtracted(
       bucket: Int, url: String, kind: String, text: String,
       nUnits: Int, charCount: Int, bytesIn: Long, error: Option[String],
-      warc_ts: java.sql.Timestamp)
+      warc_ts: java.sql.Timestamp, warn: Option[String] = None)
 
   /** Not private: Catalyst's generated SafeProjection must instantiate it. */
   final case class StreamIn(bucket: Int, url: String,
@@ -40,7 +40,7 @@ object ExtractStream {
         it.map { r =>
           val e = ctx.extract(graft.job.BucketedRow(r.bucket, r.url, r.html))
           StreamExtracted(e.bucket, e.url, e.kind, e.text, e.nUnits,
-            e.charCount, e.bytesIn, e.error, r.warc_ts)
+            e.charCount, e.bytesIn, e.error, r.warc_ts, e.warn)
         }
       }
   }
