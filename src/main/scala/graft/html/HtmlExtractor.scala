@@ -144,6 +144,7 @@ object HtmlExtractor {
     var title: Option[String] = None
     var cur: BlockBuilder = null
     var linkDepth = 0
+    var rowDepth = 0
 
     def closeBlock(): Unit = {
       if (cur != null) { cur.build().foreach(blocks += _); cur = null }
@@ -180,25 +181,40 @@ object HtmlExtractor {
             () // pruned subtree (H4)
           } else if (tag == "br") {
             if (cur != null) cur.lineBreak()
-          } else if (tag == "tr") {
+          } else if (tag == "tr" && rowDepth == 0) {
             // one block per table ROW, cells tab-joined (Appendix A r3);
             // stray td/th outside a tr still fall through to blockTags
             closeBlock()
             openBlock("tr")
+            rowDepth += 1
             var cellIdx = 0
             el.children.foreach {
               case cell: Elem if cell.tag == "td" || cell.tag == "th" =>
+                if (cur == null) openBlock("tr") // defensive: never NPE mid-row
                 if (cellIdx > 0) cur.cellBreak()
                 cellIdx += 1
                 walk(cell)
               case _ => () // inter-cell whitespace / stray nodes
             }
+            rowDepth -= 1
             closeBlock()
           } else if (blockTags.contains(tag)) {
-            closeBlock()
-            openBlock(tag)
-            walk(el)
-            closeBlock()
+            if (rowDepth > 0) {
+              // Block-level child INSIDE a table cell (<td><p>x</p></td>):
+              // keep the one-block-per-row invariant — the nested block is
+              // folded into the row as collapsed-whitespace-separated text
+              // instead of closing the row block (which nulled `cur` and
+              // NPE'd the next cell's cellBreak; ADVICE r3 #1). Nested <tr>
+              // (table-in-cell) takes this path too via the guard above.
+              if (cur != null) cur.append(" ", linkDepth > 0)
+              walk(el)
+              if (cur != null) cur.append(" ", linkDepth > 0)
+            } else {
+              closeBlock()
+              openBlock(tag)
+              walk(el)
+              closeBlock()
+            }
           } else {
             // inline element
             if (tag == "a") {

@@ -14,6 +14,22 @@ object Tables {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.format(format).load(path)
 
+  /** Read the extraction OUTPUT table with the current explicit schema.
+    *
+    * Schema-evolution seam (ADVICE r3 #2): r3 added the nullable `warn`
+    * column to ExtractedRow, so an output table resumed across versions
+    * mixes pre-warn and post-warn parquet files. Passing the explicit
+    * schema makes the parquet reader fill the missing column with null
+    * in old files instead of failing or silently dropping it — cheaper
+    * than `mergeSchema=true` (no footer merge over every file at 100 TB)
+    * and correct for any future nullable-column addition too. The
+    * `bucket` partition column resolves from directory values as usual.
+    */
+  def readExtracted(spark: SparkSession, path: String): DataFrame = {
+    val schema = org.apache.spark.sql.Encoders.product[graft.job.ExtractedRow].schema
+    spark.read.format(format).schema(schema).load(path)
+  }
+
   def exists(spark: SparkSession, path: String): Boolean =
     format match {
       case "parquet" =>

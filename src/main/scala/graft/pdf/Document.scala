@@ -116,7 +116,11 @@ final class PdfDocument(val bytes: Array[Byte],
             case _ => () // parse what's here anyway
           }
         }
-        maybeDecrypt(expectNum, g.toInt, new ObjParser(lx, resolveLength).parseObj())
+        // Decrypt with the key of the object that is ACTUALLY here (its
+        // own header num/gen) — using expectNum on a stale-offset
+        // fallback silently garbles strings/streams instead of failing
+        // typed (ADVICE r3 #3). For matching headers this is identical.
+        maybeDecrypt(n.toInt, g.toInt, new ObjParser(lx, resolveLength).parseObj())
       case _ =>
         lx.pos = save
         reconMap.get(expectNum) match {

@@ -11,6 +11,17 @@ import graft.job.{ExtractJob, Partitioning}
   * partitioned parquet sink with checkpointing. Plus watermarked
   * event-time metrics and a keyed-state dedup, demonstrating the
   * streaming operator surface (watermark/window/flatMapGroupsWithState).
+  *
+  * ==Schema migration (r3 `warn` column; ADVICE r3 #2)==
+  * `StreamExtracted` gained the nullable `warn` column in r3. A file
+  * sink + checkpoint pair created by a pre-r3 build carries the old
+  * schema; restarting on it with this build would mix schemas in the
+  * sink. Operate it like any streaming schema change: start a FRESH
+  * checkpointDir + outDir for new data, and read the combined history
+  * with `Tables.readExtracted` (explicit schema → old files surface
+  * `warn = null`). Batch-side resume is unaffected: the batch job never
+  * reads its output table back (metrics aggregate from the in-flight
+  * wave), and lineage rows are schema-stable.
   */
 object ExtractStream {
 

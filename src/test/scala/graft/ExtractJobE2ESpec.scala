@@ -138,4 +138,22 @@ class ExtractJobE2ESpec extends AnyFunSuite {
     assert(a == b, "bucket-count invariance violated")
     assert(a == c, "row-order invariance violated")
   }
+
+  test("readExtracted: pre-warn output files read as warn=null (schema migration)") {
+    import spark.implicits._
+    val (cp, _) = paths
+    val dir = tmpDir()
+    val out = s"$dir/out"
+    val spec = Partitioning.BucketSpec(4, 4L << 20, 1)
+    val full = ExtractJob.plan(spark, spark.read.parquet(cp).limit(40), null, spec).toDF()
+    // wave 1 written by a pre-r3 build: same table dir, NO warn column
+    graft.io.Tables.append(full.filter(col("bucket") < 2).drop("warn"), out)
+    // wave 2 written by the current build (warn present)
+    graft.io.Tables.append(full.filter(col("bucket") >= 2), out)
+    val back = graft.io.Tables.readExtracted(spark, out)
+    assert(back.count() == full.count(), "mixed-schema table lost rows")
+    assert(back.columns.contains("warn"), "warn column missing from explicit-schema read")
+    // old-wave rows surface warn = null rather than failing the read
+    assert(back.filter(col("bucket") < 2).filter(col("warn").isNotNull).count() == 0)
+  }
 }

@@ -127,6 +127,27 @@ class HtmlSpec extends AnyFunSuite {
         "unclosed cell five\timplied cell six")
   }
 
+  test("block elements inside table cells fold into the row (no NPE; ADVICE r3 #1)") {
+    // <td><p>..</p></td> used to null the row builder and NPE the next
+    // cell's cellBreak — the whole document became an error row
+    val html = "<body><table>" +
+      "<tr><td><p>nested paragraph cell</p></td><td>plain second cell</td></tr>" +
+      "<tr><td><div>first block</div><div>second block</div></td><td>tail cell</td></tr>" +
+      "</table></body>"
+    assert(extract(html) ==
+      "nested paragraph cell\tplain second cell\n\n" +
+        "first block second block\ttail cell")
+  }
+
+  test("nested table inside a cell folds into the outer row") {
+    val html = "<body><table><tr>" +
+      "<td>outer first cell<table><tr><td>inner a</td><td>inner b</td></tr></table></td>" +
+      "<td>outer second cell</td>" +
+      "</tr></table></body>"
+    assert(extract(html) ==
+      "outer first cell inner a inner b\touter second cell")
+  }
+
   test("spans: title + block indices") {
     val r = HtmlExtractor.extractFromString(
       "<html><head><title>T</title></head><body><h1>Head</h1>" +
