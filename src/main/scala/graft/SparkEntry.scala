@@ -254,7 +254,13 @@ object SparkEntry {
     "d5_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir)).limit(2000)),
     // md5-derived minhash variant: the LSH banding pipeline itself under
     // the DuckDB oracle (d2 = same shape on xxhash64, value-tested only)
-    "d6_minhash_portable" -> ((s, dir) => Dedup.minhashPairsPortable(docsWithDups(s, dir))),
+    // deterministic 1/4 slice (doc_id % 4): d6 exists ONLY to put the
+    // banding algorithm under the DuckDB oracle — full-corpus md5 volume
+    // was 33-42 % of the whole bench suite (VERDICT r3 "wrong" #2). The
+    // slice keeps planted dups (seed 0 % 97 = 0 % 4 = 0) and the oracle
+    // SQL slices identically.
+    "d6_minhash_portable" -> ((s, dir) =>
+      Dedup.minhashPairsPortable(docsWithDups(s, dir).filter(col("doc_id") % 4 === 0))),
     "s1_ann_brute" -> ((s, dir) => {
       val emb = embeddings(s, dir)
       val q = emb.orderBy("vec_id").limit(5)
@@ -443,8 +449,10 @@ object SparkEntry {
         val matches = (0 until nH).map(h => s"CAST(sa.mh_$h = sb.mh_$h AS INT)")
           .mkString(" + ")
         (s"$dupDocs, " +
+          // same deterministic 1/4 slice as the Spark side (bench cost)
+          "sliced AS (SELECT * FROM docs WHERE doc_id % 4 = 0), " +
           "shing AS (SELECT doc_id, unnest(list_distinct([substr(text, i, 5) " +
-          "for i in range(1, greatest(length(text)-4, 1) + 1)])) AS sh FROM docs), " +
+          "for i in range(1, greatest(length(text)-4, 1) + 1)])) AS sh FROM sliced), " +
           s"sigs AS (SELECT doc_id, $minAggs FROM shing GROUP BY doc_id), " +
           s"bands AS ($bandSelects), " +
           "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
