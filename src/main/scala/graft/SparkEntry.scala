@@ -405,8 +405,10 @@ object SparkEntry {
       // hand-computed expected taxonomy (the planted defects are fixed)
       "x6_error_taxonomy" ->
         ("SELECT * FROM (VALUES " +
-          "('err://cjk-cmap', 'error', 'unsupported-cmap:GBK-EUC-H'), " +
-          "('err://cmap-embedded', 'error', 'unsupported-cmap:embedded'), " +
+          "('err://cjk-cmap', 'pdf', 'ok'), " + // r4: GBK bytes decode via JDK charset
+          "('err://cmap-embedded', 'pdf', 'ok'), " + // r4: usecmap GBK base decodes
+          "('err://cmap-embedded-identity', 'error', 'unsupported-cmap:embedded'), " +
+          "('err://cmap-gb18030', 'error', 'unsupported-cmap:GBK2K-H'), " +
           "('err://ok-cjk-ucs2', 'pdf', 'ok'), " +
           "('err://empty', 'html', 'ok'), " +
           "('err://encrypted', 'error', 'encrypted'), " +

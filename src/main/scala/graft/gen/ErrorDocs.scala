@@ -43,9 +43,9 @@ object ErrorDocs {
 
   private val helvetica =
     "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>"
-  /** Byte-oriented predefined CMap (GBK bytes → CID): needs the real
-    * Adobe ordering tables, so it stays a typed error — unlike the
-    * Uni*-UCS2/UTF16 family whose codes ARE Unicode (see ok-cjk-ucs2).
+  /** Byte-oriented predefined CMap (r4: DECODES — code bytes are GBK
+    * text, recovered through the JDK charset decoder; pdf/PredefCMaps).
+    * The ASCII show string below is valid single-byte GBK.
     */
   private val cjkNoToUnicode =
     "<< /Type /Font /Subtype /Type0 /BaseFont /STSong-Light " +
@@ -53,18 +53,33 @@ object ErrorDocs {
   private val cjkUcs2 =
     "<< /Type /Font /Subtype /Type0 /BaseFont /STSong-Light " +
       "/Encoding /UniGB-UCS2-H /DescendantFonts [6 0 R] >>"
+  /** GB18030's GBK2K family carries 4-byte codes we deliberately don't
+    * map — the remaining byte-oriented typed-degradation case.
+    */
+  private val cjkGb18030 =
+    "<< /Type /Font /Subtype /Type0 /BaseFont /STSong-Light " +
+      "/Encoding /GBK2K-H /DescendantFonts [6 0 R] >>"
 
-  /** Embedded CMap stream as /Encoding (legal, §9.7.6.2): code→CID
-    * needs the descendant's ordering tables → DISTINCT typed tag
-    * (ADVICE r2), not the generic `:none`.
+  private def cmapObj(body: String): String =
+    s"<< /Length ${body.length} >>\nstream\n$body\nendstream"
+
+  /** Embedded CMap stream as /Encoding (legal, §9.7.6.2), inheriting a
+    * byte-oriented base via usecmap (r4: DECODES — overrides touch only
+    * glyph selection/widths; the code bytes stay GBK text).
     */
   private val embeddedCMapFont =
     "<< /Type /Font /Subtype /Type0 /BaseFont /Custom-CID " +
       "/Encoding 7 0 R /DescendantFonts [6 0 R] >>"
-  private val embeddedCMapStream = {
-    val body = "%!PS-Adobe-3.0 Resource-CMap\n1 begincidrange\n<00> <FF> 0\nendcidrange\n"
-    s"<< /Length ${body.length} >>\nstream\n$body\nendstream"
-  }
+  private val embeddedCMapStream = cmapObj(
+    "%!PS-Adobe-3.0 Resource-CMap\n/GBK-EUC-H usecmap\n" +
+      "1 begincidchar\n<8140> 9999\nendcidchar\n")
+
+  /** Embedded CMap with raw Identity-ordering CIDs and no /ToUnicode:
+    * genuinely unmappable → DISTINCT typed tag (ADVICE r2), not the
+    * generic `:none`.
+    */
+  private val embeddedIdentityStream = cmapObj(
+    "%!PS-Adobe-3.0 Resource-CMap\n1 begincidrange\n<00> <FF> 0\nendcidrange\n")
 
   /** /Encrypt dict with a /U that matches NO password (all-zero O/U):
     * decryptable-looking structure, wrong credentials → the empty-user-
@@ -86,8 +101,11 @@ object ErrorDocs {
     ("err://encrypted-unsupported",
       pdf(helvetica, trailerExtra = " /Encrypt 7 0 R", extraObjs = Seq(7 -> encUnsupported))),
     ("err://cjk-cmap", pdf(cjkNoToUnicode)),
+    ("err://cmap-gb18030", pdf(cjkGb18030)),
     ("err://cmap-embedded",
       pdf(embeddedCMapFont, extraObjs = Seq(7 -> embeddedCMapStream))),
+    ("err://cmap-embedded-identity",
+      pdf(embeddedCMapFont, extraObjs = Seq(7 -> embeddedIdentityStream))),
     // UTF-16BE hex codes for 漢字文本 — decodes via the CMap name alone
     ("err://ok-cjk-ucs2", pdf(cjkUcs2, show = "<6F225B576587672C> Tj")),
     ("err://pdf-junk", latin1("%PDF-1.7\njust junk, no objects at all")),

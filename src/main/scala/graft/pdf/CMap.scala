@@ -11,6 +11,33 @@ import scala.collection.mutable
   * UTF-16BE destinations are kept as Java Strings (surrogate pairs work
   * out naturally).
   */
+/** Shared codespace-driven code splitting (ISO 32000-1 §9.7.6.2: a
+  * show-string is partitioned into codes by matching byte prefixes
+  * against the declared codespace ranges).
+  */
+object CodeSpace {
+
+  /** Number of bytes the code starting at `bytes(pos)` occupies per the
+    * `ranges` (lo, hi, nBytes); `fallback` when nothing matches.
+    */
+  def codeLen(ranges: Vector[(Long, Long, Int)], bytes: Array[Byte], pos: Int,
+              fallback: Int): Int = {
+    val remain = bytes.length - pos
+    var i = 0
+    while (i < ranges.length) {
+      val (lo, hi, n) = ranges(i)
+      if (n <= remain) {
+        var v = 0L
+        var k = 0
+        while (k < n) { v = (v << 8) | (bytes(pos + k) & 0xff); k += 1 }
+        if (v >= lo && v <= hi) return n
+      }
+      i += 1
+    }
+    math.min(math.max(fallback, 1), math.max(remain, 1))
+  }
+}
+
 final class ToUnicodeCMap(
     val codeSpace: Vector[(Long, Long, Int)], // (lo, hi, nBytes)
     singles: Map[Long, String],
@@ -43,21 +70,8 @@ final class ToUnicodeCMap(
   /** Number of bytes the code starting at `bytes(pos)` occupies, per the
     * codespace ranges; falls back to the longest declared code length.
     */
-  def codeLen(bytes: Array[Byte], pos: Int): Int = {
-    val remain = bytes.length - pos
-    var i = 0
-    while (i < codeSpace.length) {
-      val (lo, hi, n) = codeSpace(i)
-      if (n <= remain) {
-        var v = 0L
-        var k = 0
-        while (k < n) { v = (v << 8) | (bytes(pos + k) & 0xff); k += 1 }
-        if (v >= lo && v <= hi) return n
-      }
-      i += 1
-    }
-    math.min(math.max(codeLengths.last, 1), math.max(remain, 1))
-  }
+  def codeLen(bytes: Array[Byte], pos: Int): Int =
+    CodeSpace.codeLen(codeSpace, bytes, pos, codeLengths.last)
 
   def isEmpty: Boolean = singles.isEmpty && ranges.isEmpty
 }
@@ -149,5 +163,119 @@ object ToUnicodeCMap {
       tok = lx.next()
     }
     new ToUnicodeCMap(codeSpace.result(), singles.toMap, ranges.result())
+  }
+}
+
+/** Embedded CMap stream parser — the code→CID half of a Type0 font's
+  * /Encoding when it is a stream rather than a predefined name
+  * (SURVEY.md §2.4 FN3; ISO 32000-1 §9.7.5.3 and the Adobe CMap spec).
+  *
+  * Same PostScript-subset grammar as /ToUnicode, with the CID operators:
+  * codespacerange, cidrange (lo hi startCid), cidchar (src cid), and the
+  * `/Name usecmap` inheritance form. The parsed map drives code
+  * SPLITTING (authoritative codespace — template ToUnicode codespaces
+  * are often wrong) and CID-keyed /W width lookup; Unicode text comes
+  * from /ToUnicode or the inherited base CMap's semantics (Uni* = codes
+  * are UTF-16BE; byte-oriented = codes are national-charset bytes).
+  */
+final class CidCMap(
+    val codeSpace: Vector[(Long, Long, Int)],
+    singles: Map[Long, Int],
+    ranges: Vector[(Long, Long, Int)], // (lo, hi, startCid)
+    /** Base CMap name from `usecmap` ("" when absent). */
+    val useCMap: String) {
+
+  private val maxLen: Int =
+    if (codeSpace.isEmpty) 2 else codeSpace.map(_._3).max
+
+  def codeLen(bytes: Array[Byte], pos: Int): Int =
+    CodeSpace.codeLen(codeSpace, bytes, pos, maxLen)
+
+  /** code → CID, -1 when unmapped by this (embedded) layer. */
+  def cid(code: Long): Int = singles.get(code) match {
+    case Some(c) => c
+    case None =>
+      var i = 0
+      while (i < ranges.length) {
+        val (lo, hi, start) = ranges(i)
+        if (code >= lo && code <= hi) return start + (code - lo).toInt
+        i += 1
+      }
+      -1
+  }
+
+  def hasCids: Boolean = singles.nonEmpty || ranges.nonEmpty
+
+  /** This map's codespace prepended with the base CMap's (usecmap
+    * inherits codespace ranges; own ranges take precedence by order).
+    */
+  def withBaseCodeSpace(base: Vector[(Long, Long, Int)]): CidCMap =
+    if (base.isEmpty) this
+    else new CidCMap(codeSpace ++ base.filterNot(codeSpace.contains), singles, ranges, useCMap)
+}
+
+object CidCMap {
+
+  private def hexToLong(b: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < b.length) { v = (v << 8) | (b(i) & 0xff); i += 1 }
+    v
+  }
+
+  def parse(data: Array[Byte]): CidCMap = {
+    val lx = new Lexer(data)
+    val codeSpace = Vector.newBuilder[(Long, Long, Int)]
+    val singles = Map.newBuilder[Long, Int]
+    val ranges = Vector.newBuilder[(Long, Long, Int)]
+    var use = ""
+    var lastName = "" // `/Base usecmap` — the name precedes the keyword
+    var tok = lx.next()
+    while (tok != Tok.TEof) {
+      tok match {
+        case Tok.TName(n) => lastName = n
+        case Tok.TKw("usecmap") => use = lastName
+        case Tok.TKw("begincodespacerange") =>
+          var go = true
+          while (go) {
+            lx.next() match {
+              case Tok.TStr(lo) =>
+                lx.next() match {
+                  case Tok.TStr(hi) => codeSpace += ((hexToLong(lo), hexToLong(hi), lo.length))
+                  case _ => go = false
+                }
+              case _ => go = false
+            }
+          }
+        case Tok.TKw("begincidchar") =>
+          var go = true
+          while (go) {
+            lx.next() match {
+              case Tok.TStr(src) =>
+                lx.next() match {
+                  case Tok.TInt(c) => singles += hexToLong(src) -> c.toInt
+                  case _ => go = false
+                }
+              case _ => go = false
+            }
+          }
+        case Tok.TKw("begincidrange") =>
+          var go = true
+          while (go) {
+            lx.next() match {
+              case Tok.TStr(lo) =>
+                (lx.next(), lx.next()) match {
+                  case (Tok.TStr(hi), Tok.TInt(c)) =>
+                    ranges += ((hexToLong(lo), hexToLong(hi), c.toInt))
+                  case _ => go = false
+                }
+              case _ => go = false
+            }
+          }
+        case _ => ()
+      }
+      tok = lx.next()
+    }
+    new CidCMap(codeSpace.result(), singles.result(), ranges.result(), use)
   }
 }

@@ -179,11 +179,14 @@ class FontsSpec extends AnyFunSuite {
     // Korean family name variant
     val r3 = PdfExtractor.extract(cmapDoc("UniKS-UCS2-V", "D55CAE00"), inflater)
     assert(r3.text == "\ud55c\uae00", r3.text) // 한글
-    // a BYTE-oriented predefined CMap must stay a typed error row
+    // byte-oriented predefined CMaps decode through the JDK charset (r4)
+    val r4 = PdfExtractor.extract(cmapDoc("GBK-EUC-H", "BABA"), inflater)
+    assert(r4.text == "汉", r4.text) // 汉
+    // GB18030's 4-byte GBK2K family stays a typed error row
     val ex = intercept[Exception] {
-      PdfExtractor.extract(cmapDoc("GBK-EUC-H", "BABA"), inflater)
+      PdfExtractor.extract(cmapDoc("GBK2K-H", "BABA"), inflater)
     }
-    assert(ex.getMessage == "unsupported-cmap:GBK-EUC-H")
+    assert(ex.getMessage == "unsupported-cmap:GBK2K-H")
   }
 
   test("Symbol/ZapfDingbats built-in encodings + Symbol AFM widths") {
@@ -198,6 +201,172 @@ class FontsSpec extends AnyFunSuite {
     assert(Glyphs.symbolCodeWidths('m') == 576)
     assert(Glyphs.symbolCodeWidths(0x20) == 250)
     assert(Glyphs.defaultWidth("ZapfDingbats") == 740)
+  }
+
+  /** Minimal classic-xref PDF: object 5 is /F1; page shows `show`. */
+  private def miniPdf(font: String, show: String,
+                      extraObjs: Seq[(Int, String)] = Nil): Array[Byte] = {
+    val objs = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> ("<< /Type /Page /Parent 2 0 R /Resources " +
+        "<< /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"),
+      4 -> {
+        val content = s"BT /F1 12 Tf 72 720 Td $show ET"
+        s"<< /Length ${content.length} >>\nstream\n$content\nendstream"
+      },
+      5 -> font,
+      6 -> ("<< /Type /Font /Subtype /CIDFontType0 /BaseFont /Synth " +
+        "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> /DW 1000 >>")) ++
+      extraObjs
+    val maxNum = objs.map(_._1).max
+    val sb = new StringBuilder("%PDF-1.7\n")
+    val offsets = scala.collection.mutable.Map.empty[Int, Int]
+    objs.foreach { case (n, body) =>
+      offsets(n) = sb.length
+      sb.append(s"$n 0 obj\n$body\nendobj\n")
+    }
+    val xref = sb.length
+    sb.append(s"xref\n0 ${maxNum + 1}\n")
+    (0 to maxNum).foreach { n =>
+      if (n == 0) sb.append(f"${0}%010d 65535 f \n")
+      else sb.append(f"${offsets(n)}%010d 00000 n \n")
+    }
+    sb.append(s"trailer\n<< /Size ${maxNum + 1} /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    sb.toString.getBytes("ISO-8859-1")
+  }
+
+  private def hexOf(b: Array[Byte]): String =
+    b.map(x => f"${x & 0xff}%02X").mkString("<", "", ">")
+
+  private def cmapStreamObj(body: String): String =
+    s"<< /Length ${body.length} >>\nstream\n$body\nendstream"
+
+  test("CidCMap: codespace + cidrange + cidchar + usecmap parse") {
+    val cm = CidCMap.parse(
+      """%!PS-Adobe-3.0 Resource-CMap
+        |/GBK-EUC-H usecmap
+        |2 begincodespacerange
+        |<20> <7E>
+        |<8140> <FEFE>
+        |endcodespacerange
+        |1 begincidrange
+        |<20> <7E> 32
+        |endcidrange
+        |2 begincidchar
+        |<8140> 4096
+        |<8141> 4097
+        |endcidchar
+        |endcmap""".stripMargin.getBytes("ISO-8859-1"))
+    assert(cm.useCMap == "GBK-EUC-H")
+    assert(cm.cid(0x20) == 32 && cm.cid(0x7E) == 126)
+    assert(cm.cid(0x8140) == 4096 && cm.cid(0x8141) == 4097)
+    assert(cm.cid(0x8142) == -1)
+    val bytes = Array[Byte](0x41, 0x81.toByte, 0x40, 0x42)
+    assert(cm.codeLen(bytes, 0) == 1)
+    assert(cm.codeLen(bytes, 1) == 2)
+  }
+
+  test("byte-oriented predefined CMap: GBK-EUC-H decodes via the JDK charset") {
+    val inflater = new java.util.zip.Inflater()
+    val text = "中文AB"
+    val font = "<< /Type /Font /Subtype /Type0 /BaseFont /STSong-Light " +
+      "/Encoding /GBK-EUC-H /DescendantFonts [6 0 R] >>"
+    val r = PdfExtractor.extract(
+      miniPdf(font, s"${hexOf(text.getBytes("GBK"))} Tj"), inflater)
+    assert(r.text == text, r.text)
+  }
+
+  test("byte-oriented predefined CMap: 90ms-RKSJ-H (Shift-JIS) incl. 1-byte kana") {
+    val inflater = new java.util.zip.Inflater()
+    val text = "日本語ｱｲ"
+    val font = "<< /Type /Font /Subtype /Type0 /BaseFont /HeiseiMin-W3 " +
+      "/Encoding /90ms-RKSJ-H /DescendantFonts [6 0 R] >>"
+    val r = PdfExtractor.extract(
+      miniPdf(font, s"${hexOf(text.getBytes("windows-31j"))} Tj"), inflater)
+    assert(r.text == text, r.text)
+  }
+
+  test("byte-oriented predefined CMap: KSC-EUC-H and ETen-B5-H") {
+    val inflater = new java.util.zip.Inflater()
+    val ko = "한국어"
+    val fontKo = "<< /Type /Font /Subtype /Type0 /BaseFont /HYSMyeongJo " +
+      "/Encoding /KSC-EUC-H /DescendantFonts [6 0 R] >>"
+    assert(PdfExtractor.extract(
+      miniPdf(fontKo, s"${hexOf(ko.getBytes("EUC-KR"))} Tj"), inflater).text == ko)
+    val tw = "中文字"
+    val fontTw = "<< /Type /Font /Subtype /Type0 /BaseFont /MSung-Light " +
+      "/Encoding /ETen-B5-H /DescendantFonts [6 0 R] >>"
+    assert(PdfExtractor.extract(
+      miniPdf(fontTw, s"${hexOf(tw.getBytes("Big5"))} Tj"), inflater).text == tw)
+  }
+
+  test("embedded CMap: mixed 1/2-byte codespace drives splitting; ToUnicode maps text") {
+    val inflater = new java.util.zip.Inflater()
+    val cmap =
+      """%!PS-Adobe-3.0 Resource-CMap
+        |2 begincodespacerange
+        |<20> <7E>
+        |<8140> <FEFE>
+        |endcodespacerange
+        |1 begincidrange
+        |<20> <7E> 32
+        |endcidrange
+        |1 begincidchar
+        |<8140> 4096
+        |endcidchar
+        |endcmap""".stripMargin
+    // template ToUnicode declaring the WRONG (all-2-byte) codespace:
+    // splitting must come from the embedded CMap
+    val toUni =
+      """begincmap
+        |1 begincodespacerange <0000> <FFFF> endcodespacerange
+        |1 beginbfrange
+        |<20> <7E> <0020>
+        |endbfrange
+        |1 beginbfchar
+        |<8140> <8A9E>
+        |endbfchar
+        |endcmap""".stripMargin
+    val font = "<< /Type /Font /Subtype /Type0 /BaseFont /Embedded-CID " +
+      "/Encoding 7 0 R /DescendantFonts [6 0 R] /ToUnicode 8 0 R >>"
+    val r = PdfExtractor.extract(
+      miniPdf(font, "<41428140> Tj",
+        extraObjs = Seq(7 -> cmapStreamObj(cmap), 8 -> cmapStreamObj(toUni))),
+      inflater)
+    assert(r.text == "AB語", r.text) // AB語
+  }
+
+  test("embedded CMap with usecmap GBK-EUC-H: charset decode, no ToUnicode needed") {
+    val inflater = new java.util.zip.Inflater()
+    val cmap =
+      """%!PS-Adobe-3.0 Resource-CMap
+        |/GBK-EUC-H usecmap
+        |1 begincidchar
+        |<8140> 9999
+        |endcidchar
+        |endcmap""".stripMargin
+    val text = "国家AB"
+    val font = "<< /Type /Font /Subtype /Type0 /BaseFont /STSong-Light " +
+      "/Encoding 7 0 R /DescendantFonts [6 0 R] >>"
+    val r = PdfExtractor.extract(
+      miniPdf(font, s"${hexOf(text.getBytes("GBK"))} Tj",
+        extraObjs = Seq(7 -> cmapStreamObj(cmap))),
+      inflater)
+    assert(r.text == text, r.text)
+  }
+
+  test("embedded CMap /W widths are CID-keyed through code->cid") {
+    val cm = CidCMap.parse(
+      """1 begincodespacerange <00> <FF> endcodespacerange
+        |1 begincidrange <41> <5A> 4096 endcidrange
+        |endcmap""".stripMargin.getBytes("ISO-8859-1"))
+    val fi = FontInfo("F1", "Type0", 2, ToUnicodeCMap.empty, null, Map.empty,
+      widths = Map(4096 -> 600, 4097 -> 650), defaultWidth = 1000,
+      isType0 = true, identityCid = false, cidMap = cm)
+    assert(fi.width(0x41) == 600)
+    assert(fi.width(0x42) == 650)
+    assert(fi.width(0x43) == 1000) // CID 4098 unmapped -> /DW
   }
 
   test("a /Symbol font without /Encoding or /Widths extracts Greek") {

@@ -137,28 +137,29 @@ class XrefDocSpec extends AnyFunSuite {
         "<< /Font << /F1 5 0 R /F2 6 0 R >> >> /Contents 4 0 R >>"),
       4 -> {
         val c = "BT /F1 12 Tf 72 720 Td (Good text) Tj " +
-          "/F2 12 Tf 0 -14.4 Td <BABA> Tj /F1 12 Tf 0 -14.4 Td (more good) Tj ET"
+          "/F2 12 Tf 0 -14.4 Td <81308130> Tj /F1 12 Tf 0 -14.4 Td (more good) Tj ET"
         s"<< /Length ${c.length} >>\nstream\n$c\nendstream"
       },
       5 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>",
       6 -> ("<< /Type /Font /Subtype /Type0 /BaseFont /STSong-Light " +
-        "/Encoding /GBK-EUC-H /DescendantFonts [7 0 R] >>"),
+        "/Encoding /GBK2K-H /DescendantFonts [7 0 R] >>"),
       7 -> "<< /Type /Font /Subtype /CIDFontType0 /BaseFont /STSong-Light >>")
     val r = PdfExtractor.extract(pdf(objs), inf)
     assert(r.text == "Good text\nmore good", r.text)
-    assert(r.warns == Vector("unsupported-cmap:GBK-EUC-H"), r.warns)
+    assert(r.warns == Vector("unsupported-cmap:GBK2K-H"), r.warns)
   }
 
-  test("Type0 with BYTE-oriented predefined CID CMap: distinct countable error") {
-    // Uni*-UCS2/UTF16 CMaps decode as UTF-16BE since r3 (FontsSpec);
-    // byte-oriented orderings like GBK-EUC-H still need Adobe tables
+  test("Type0 with a 4-byte GB18030 predefined CMap: distinct countable error") {
+    // Uni*-UCS2/UTF16 CMaps decode as UTF-16BE since r3, byte-oriented
+    // families (GBK-EUC-H etc.) via JDK charsets since r4 (FontsSpec);
+    // GB18030's 4-byte GBK2K family is the remaining typed degradation
     val objs = baseObjs.map {
       case (5, _) => 5 -> ("<< /Type /Font /Subtype /Type0 /BaseFont /STSong-Light " +
-        "/Encoding /GBK-EUC-H /DescendantFonts [6 0 R] >>")
+        "/Encoding /GBK2K-H /DescendantFonts [6 0 R] >>")
       case o => o
     } :+ (6 -> "<< /Type /Font /Subtype /CIDFontType0 /BaseFont /STSong-Light >>")
     val e = intercept[Exception] { PdfExtractor.extract(pdf(objs), inf) }
-    assert(e.getMessage == "unsupported-cmap:GBK-EUC-H")
+    assert(e.getMessage == "unsupported-cmap:GBK2K-H")
   }
 
   test("/Length as indirect reference") {
