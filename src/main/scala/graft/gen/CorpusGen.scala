@@ -76,9 +76,11 @@ object CorpusGen {
     */
   def pdfSpec(docId: Long, lang: String, rng: Random): PdfBuilder.Spec = {
     val i = (docId / 3).toInt // dense index over PDF docs
-    // zh needs Type0: alternate Identity-H+ToUnicode (3) and the
-    // predefined UniGB-UCS2-H CMap with NO ToUnicode (6)
-    val fontKind = if (lang == "zh") (if ((i / 2) % 2 == 0) 3 else 6) else i % 8
+    // zh needs Type0: cycle Identity-H+ToUnicode (3), the predefined
+    // UniGB-UCS2-H CMap with NO ToUnicode (6), and the byte-oriented
+    // GBK-EUC-H CMap with NO ToUnicode (9, r4). Non-zh docs cycle the
+    // other kinds incl. the embedded-CMap /Encoding stream (8, r4).
+    val fontKind = if (lang == "zh") Vector(3, 6, 9)((i / 2) % 3) else i % 9
     PdfBuilder.Spec(
       xrefKind = i % 5,
       filterKind = (i / 5) % 7,
@@ -92,14 +94,13 @@ object CorpusGen {
       junkAfterEof = rng.nextInt(5) == 0,
       indirectLength = rng.nextInt(4) == 0,
       splitShow = i % 2 == 0, // fires when the showKind/posKind/fontKind gates align
-      // ~25% of non-Type0 PDFs ship encrypted with an empty user
-      // password, cycling RC4-40 / RC4-128 / AES-128 / AES-256
-      // (crawl-realistic owner-locked docs; Type0 docs keep their
-      // CIDSystemInfo strings plaintext so the whole file stays
-      // spec-honest unencrypted). Cycle divisor 8 (not 4): a /4 cycle
-      // would align with other mod-4-coupled axes.
-      encryptKind = if (fontKind == 3 || fontKind == 6) 0
-        else if (i % 4 == 1) 1 + ((i / 8) % 4) else 0)
+      // ~25% of PDFs ship encrypted with an empty user password, cycling
+      // RC4-40 / RC4-128 / AES-128 / AES-256 (crawl-realistic
+      // owner-locked docs). r4 un-gates Type0 kinds: the builder now
+      // encrypts CIDSystemInfo strings too (VERDICT r3 "next" #2).
+      // Cycle divisor 8 (not 4): a /4 cycle would align with other
+      // mod-4-coupled axes.
+      encryptKind = if (i % 4 == 1) 1 + ((i / 8) % 4) else 0)
   }
 
   /** WET-style flattened text: expected text with newlines as spaces —

@@ -28,7 +28,7 @@ object PdfBuilder {
       filterKind: Int, // 0 none | 1 flate | 2 ahx | 3 a85 | 4 a85+flate chain | 5 rle | 6 lzw
       showKind: Int, // 0 Tj | 1 TJ kerning | 2 '/" forms
       posKind: Int, // 0 Td | 1 Tm | 2 T*+TL
-      fontKind: Int, // 0 WinAnsi | 1 Differences | 2 ToUnicode bfchar | 3 Type0 Identity-H | 4 MacRoman | 5 Type3 | 6 Type0 UniGB-UCS2-H (UTF-16BE codes, NO ToUnicode) | 7 Symbol (built-in encoding, no /Widths)
+      fontKind: Int, // 0 WinAnsi | 1 Differences | 2 ToUnicode bfchar | 3 Type0 Identity-H | 4 MacRoman | 5 Type3 | 6 Type0 UniGB-UCS2-H (UTF-16BE codes, NO ToUnicode) | 7 Symbol (built-in encoding, no /Widths) | 8 Type0 EMBEDDED CMap /Encoding stream (mixed 1/2-byte codespace) + ToUnicode | 9 Type0 GBK-EUC-H (byte-oriented predefined CMap, GBK bytes, NO ToUnicode)
       nPages: Int, // 1 | 3 (intermediate /Pages node when 3)
       formXObject: Boolean,
       inlineImage: Boolean,
@@ -112,6 +112,15 @@ object PdfBuilder {
         val iv = if (c.aes) Array.fill(16)(cryptRng.nextInt(256).toByte) else null
         c.encrypt(num, 0, data, iv)
       case None => data
+    }
+
+    /** A literal string for object `num`'s body: encrypted-hex under
+      * encryption (§7.6.2: ALL strings outside the /Encrypt dict are
+      * encrypted — incl. CIDSystemInfo's), plain `(s)` otherwise.
+      */
+    def str(num: Int, s: String): String = crypt match {
+      case Some(_) => enc(num, latin1(s)).map(b => f"${b & 0xff}%02X").mkString("<", "", ">")
+      case None => s"($s)"
     }
 
     /** Add a stream object; data is encrypted (keyed by the allocated
@@ -501,6 +510,19 @@ object PdfBuilder {
     // fontKind 2: chars deliberately remapped away from their WinAnsi slot
     val bfcharRemap: Map[Char, Int] = Map('ω' -> 0xD7, '✓' -> 0xD8)
 
+    // fontKind 8: non-ASCII chars get 2-byte codes inside the embedded
+    // CMap's <8140> <FEFE> codespace range (low byte kept >= 0x40);
+    // ASCII shows as 1-byte codes straight from the <20> <7E> range
+    val wideOf = scala.collection.mutable.LinkedHashMap.empty[Char, Int]
+    private var wideHi = 0x81
+    private var wideLo = 0x40
+    def wideCode(ch: Char): Int = wideOf.getOrElseUpdate(ch, {
+      val c = (wideHi << 8) | wideLo
+      wideLo += 1
+      if (wideLo > 0xFE) { wideLo = 0x40; wideHi += 1 }
+      c
+    })
+
     def codeOf(ch: Char): Int = fontKind match {
       case 1 =>
         diffMap.find(_._3 == ch) match {
@@ -531,6 +553,18 @@ object PdfBuilder {
       if (fontKind == 6) {
         // UTF-16BE code units verbatim (surrogate pairs = two codes)
         hexString(s.map(_.toInt))
+      } else if (fontKind == 8) {
+        // embedded-CMap mixed codespace: ASCII = its own 1-byte code,
+        // everything else = an allocated 2-byte code
+        val b = ArrayBuffer.empty[Int] // raw BYTES, not codes
+        s.foreach { ch =>
+          if (ch >= 0x20 && ch <= 0x7E) b += ch.toInt
+          else { val c = wideCode(ch); b += (c >> 8); b += (c & 0xff) }
+        }
+        b.map(x => f"$x%02X").mkString("<", "", ">")
+      } else if (fontKind == 9) {
+        // byte-oriented GBK-EUC-H: the show bytes ARE GBK text
+        s.getBytes("GBK").map(x => f"${x & 0xff}%02X").mkString("<", "", ">")
       } else if (fontKind == 3) {
         val codes = ArrayBuffer.empty[Int]
         var i = 0
@@ -594,6 +628,21 @@ object PdfBuilder {
       }
       sb.append("endbfchar\n")
       sb.append("2 beginbfrange\n<20> <7E> <0020>\n<A0> <FF> <00A0>\nendbfrange\n")
+    } else if (fontKind == 8) {
+      // deliberately-sloppy TEMPLATE codespace (all-2-byte): splitting
+      // must come from the embedded /Encoding CMap, not from here
+      sb.append("1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n")
+      sb.append("1 beginbfrange\n<20> <7E> <0020>\nendbfrange\n")
+      val wides = enc.wideOf.toVector
+      if (wides.nonEmpty) {
+        wides.grouped(100).foreach { chunk =>
+          sb.append(s"${chunk.size} beginbfchar\n")
+          chunk.foreach { case (ch, code) =>
+            sb.append(f"<$code%04X> <${ch.toInt}%04X>\n")
+          }
+          sb.append("endbfchar\n")
+        }
+      }
     }
     sb.append("endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend\n")
     sb.toString
@@ -670,9 +719,10 @@ object PdfBuilder {
 
     // font + ToUnicode + descendants (capture the alloc'd helper object
     // numbers — the /Encrypt object may sit between fontNum and them)
-    var tuNumA = -1 // ToUnicode stream (fontKind 2, 3)
-    var descNumA = -1 // descendant CIDFont (fontKind 3)
+    var tuNumA = -1 // ToUnicode stream (fontKind 2, 3, 8)
+    var descNumA = -1 // descendant CIDFont (fontKind 3, 6, 8, 9)
     var procNumA = -1 // Type3 glyph proc (fontKind 5)
+    var cmNumA = -1 // embedded /Encoding CMap stream (fontKind 8)
     val fontBody: String = spec.fontKind match {
       case 0 =>
         "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>"
@@ -711,6 +761,22 @@ object PdfBuilder {
         // /ToUnicode — the extractor must decode via the CMap name alone
         val descNum = asm.alloc(); descNumA = descNum
         s"<< /Type /Font /Subtype /Type0 /BaseFont /STSong-Light /Encoding /UniGB-UCS2-H " +
+          s"/DescendantFonts [$descNum 0 R] >>"
+      case 8 =>
+        // EMBEDDED CMap stream as /Encoding (§9.7.5.3): mixed 1/2-byte
+        // codespace the extractor must use for splitting (the ToUnicode
+        // below ships a deliberately-sloppy all-2-byte template
+        // codespace, as real producers do)
+        val cmNum = asm.alloc(); cmNumA = cmNum
+        val descNum = asm.alloc(); descNumA = descNum
+        val tuNum = asm.alloc(); tuNumA = tuNum
+        s"<< /Type /Font /Subtype /Type0 /BaseFont /Embed-CID /Encoding $cmNum 0 R " +
+          s"/DescendantFonts [$descNum 0 R] /ToUnicode $tuNum 0 R >>"
+      case 9 =>
+        // byte-oriented predefined CMap, NO /ToUnicode: the show bytes
+        // are GBK text the extractor decodes via the JDK charset
+        val descNum = asm.alloc(); descNumA = descNum
+        s"<< /Type /Font /Subtype /Type0 /BaseFont /STSong-Light /Encoding /GBK-EUC-H " +
           s"/DescendantFonts [$descNum 0 R] >>"
       case _ => "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     }
@@ -791,20 +857,65 @@ object PdfBuilder {
     } else if (spec.fontKind == 3) {
       val descNum = descNumA
       val tuNum = tuNumA
+      // CIDSystemInfo strings go through asm.str: under encryption ALL
+      // strings outside /Encrypt are encrypted (§7.6.2) — and an object
+      // with individually-encrypted strings must stay out of ObjStms
       asm.addAt(descNum,
         "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Synth-CID " +
-          "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> /DW 500 " +
+          s"/CIDSystemInfo << /Registry ${asm.str(descNum, "Adobe")} " +
+          s"/Ordering ${asm.str(descNum, "Identity")} /Supplement 0 >> /DW 500 " +
           "/W [512 [600 600 600]] >>",
-        packable = true)
+        packable = asm.crypt.isEmpty)
       val body = toUnicodeBody(3, enc)
       val defl = asm.enc(tuNum, flate(latin1(body)))
       asm.addAt(tuNum, s"<< /Filter /FlateDecode /Length ${defl.length} >>\nstream\n" +
         new String(defl, "ISO-8859-1") + "\nendstream")
-    } else if (spec.fontKind == 6) {
-      asm.addAt(descNumA,
+    } else if (spec.fontKind == 6 || spec.fontKind == 9) {
+      val descNum = descNumA
+      asm.addAt(descNum,
         "<< /Type /Font /Subtype /CIDFontType0 /BaseFont /STSong-Light " +
-          "/CIDSystemInfo << /Registry (Adobe) /Ordering (GB1) /Supplement 5 >> /DW 1000 >>",
-        packable = true)
+          s"/CIDSystemInfo << /Registry ${asm.str(descNum, "Adobe")} " +
+          s"/Ordering ${asm.str(descNum, "GB1")} /Supplement 5 >> /DW 1000 >>",
+        packable = asm.crypt.isEmpty)
+    } else if (spec.fontKind == 8) {
+      val cmNum = cmNumA
+      val descNum = descNumA
+      val tuNum = tuNumA
+      // the embedded /Encoding CMap stream: authoritative mixed
+      // codespace + cidrange/cidchar (code→CID for the CID-keyed /W)
+      val cm = new StringBuilder
+      cm.append("%!PS-Adobe-3.0 Resource-CMap\n")
+      cm.append("/CIDSystemInfo << /Registry (Synth) /Ordering (Embed) /Supplement 0 >> def\n")
+      cm.append("/CMapName /Synth-Embed-H def\n/CMapType 1 def\n")
+      cm.append("2 begincodespacerange\n<20> <7E>\n<8140> <FEFE>\nendcodespacerange\n")
+      cm.append("1 begincidrange\n<20> <7E> 32\nendcidrange\n")
+      val wides = enc.wideOf.toVector
+      if (wides.nonEmpty) {
+        wides.zipWithIndex.grouped(100).foreach { chunk =>
+          cm.append(s"${chunk.size} begincidchar\n")
+          chunk.foreach { case ((_, code), i) =>
+            cm.append(f"<$code%04X> ${0x1000 + i}\n")
+          }
+          cm.append("endcidchar\n")
+        }
+      }
+      cm.append("endcmap\n")
+      val cmDefl = asm.enc(cmNum, flate(latin1(cm.toString)))
+      asm.addAt(cmNum,
+        s"<< /Type /CMap /CMapName /Synth-Embed-H /Filter /FlateDecode /Length ${cmDefl.length} >>\nstream\n" +
+          new String(cmDefl, "ISO-8859-1") + "\nendstream")
+      // /W keyed by the CIDs the embedded CMap assigns (wide chars 1000,
+      // ASCII CIDs 32..126 at 600 via the range form)
+      asm.addAt(descNum,
+        "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Embed-CID " +
+          s"/CIDSystemInfo << /Registry ${asm.str(descNum, "Synth")} " +
+          s"/Ordering ${asm.str(descNum, "Embed")} /Supplement 0 >> /DW 1000 " +
+          s"/W [32 126 600 4096 ${4096 + math.max(wides.size, 1) - 1} 1000] >>",
+        packable = asm.crypt.isEmpty)
+      val body = toUnicodeBody(8, enc)
+      val defl = asm.enc(tuNum, flate(latin1(body)))
+      asm.addAt(tuNum, s"<< /Filter /FlateDecode /Length ${defl.length} >>\nstream\n" +
+        new String(defl, "ISO-8859-1") + "\nendstream")
     } else if (spec.fontKind == 5) {
       // inert Type3 glyph procedure shared by every /CharProcs entry
       val procNum = procNumA

@@ -42,6 +42,19 @@ object TextGen {
     "λογος", "κοσμος", "πυθμην", "ρυθμος", "χρονος", "μορφη", "ταξις",
     "φυσις", "ψυχη", "ζωη", "εικων", "νομος", "ξενος")
 
+  /** BMP-only words for the embedded-CMap kind (fontKind 8: wide codes
+    * hold one UTF-16 unit each — no surrogate pairs by construction).
+    */
+  private val embedWords = Vector("αβγ", "Ünïcødé", "漢字", "引擎")
+
+  /** A word survives for fontKind 9 iff GBK encode→decode is faithful
+    * (the generator and extractor share the JDK GBK coders, so this is
+    * exactly the encodable set — é/à-style pinyin accents included,
+    * ç/ñ/ß excluded).
+    */
+  private def gbkClean(w: String): Boolean =
+    new String(w.getBytes("GBK"), "GBK") == w
+
   /** Word pool for a (lang, pdfFontKind) combination. fontKind -1 = HTML
     * (anything goes; HTML is UTF-8).
     */
@@ -57,6 +70,8 @@ object TextGen {
       case 5 => base // Type3: plain ASCII via /Differences names
       case 6 => base ++ langWords.getOrElse(lang, Vector.empty) ++ cidWords // UTF-16BE codes: anything goes
       case 7 => greekWords // Symbol encodes ONLY its own glyph set
+      case 8 => base ++ embedWords // embedded CMap: BMP chars via 2-byte codes
+      case 9 => (base ++ langWords.getOrElse(lang, Vector.empty)).filter(gbkClean)
       case _ => base
     }
   }
