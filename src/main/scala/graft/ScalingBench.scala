@@ -90,16 +90,39 @@ object ScalingBench {
       runs
     }
 
-    val tsSmall = submit(execSmall)
-    val tsBig = submit(execBig)
-    val tSmall = tsSmall.min
-    val tBig = tsBig.min
-    val thruSmall = benchN / tSmall
-    val thruBig = benchN / tBig
+    // INTERLEAVED A/B protocol (VERDICT r3 "next" #4): this box's noise
+    // is bursty and one-sided, so sequential N-then-4N sampling lets a
+    // burst hit one leg only and fabricate (or destroy) efficiency.
+    // Alternating N/4N legs within ONE invocation puts adjacent legs
+    // ~a minute apart; each round yields a PAIRED efficiency computed
+    // from times measured under (nearly) the same host conditions.
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_AB_ROUNDS", "4").toInt
     val ratio = execBig.toDouble / execSmall
-    val eff = thruBig / (ratio * thruSmall)
-    val effMed = (benchN / median(tsBig)) / (ratio * (benchN / median(tsSmall)))
-    println(f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio","eff_median":$effMed%.3f,"docs":$benchN,"para_scale":$paraScale,"reps":$reps,"mode":"local-cluster","cores_per_executor":$coresPerExec,"n_executors":$execSmall,"t_n_sec":$tSmall%.2f,"thru_n_docs_per_sec":$thruSmall%.1f,"4n_executors":$execBig,"t_4n_sec":$tBig%.2f,"thru_4n_docs_per_sec":$thruBig%.1f,"runs_n":[${tsSmall.map(t => f"$t%.2f").mkString(",")}],"runs_4n":[${tsBig.map(t => f"$t%.2f").mkString(",")}]}""")
+    val pairs = (1 to rounds).map { r =>
+      System.err.println(s"[scaling] A/B round $r/$rounds")
+      val tsSmall = submit(execSmall)
+      val tsBig = submit(execBig)
+      val tN = tsSmall.min
+      val t4 = tsBig.min
+      val eff = (benchN / t4) / (ratio * (benchN / tN))
+      System.err.println(f"[scaling]   round $r: tN=$tN%.2f t4N=$t4%.2f eff=$eff%.3f")
+      (tN, t4, eff, tsSmall, tsBig)
+    }
+    val effs = pairs.map(_._3)
+    val effMed = median(effs)
+    val effBest = effs.max
+    // cross-round minima compound (the r3 headline number, kept for
+    // comparability — noise-prone because minima may come from
+    // different host windows)
+    val tN = pairs.map(_._1).min
+    val t4 = pairs.map(_._2).min
+    val effMin = (benchN / t4) / (ratio * (benchN / tN))
+    val pairsJson = pairs.map { case (a, b, e, _, _) =>
+      f"""{"t_n_sec":$a%.2f,"t_4n_sec":$b%.2f,"eff":$e%.3f}"""
+    }.mkString("[", ",", "]")
+    val runsN = pairs.flatMap(_._4).map(t => f"$t%.2f").mkString("[", ",", "]")
+    val runs4 = pairs.flatMap(_._5).map(t => f"$t%.2f").mkString("[", ",", "]")
+    println(f"""{"metric":"scaling_efficiency","value":$effMed%.3f,"unit":"ratio","protocol":"interleaved_ab","pairs":$pairsJson,"eff_median_pair":$effMed%.3f,"eff_best_pair":$effBest%.3f,"eff_cross_minima":$effMin%.3f,"docs":$benchN,"para_scale":$paraScale,"reps":$reps,"ab_rounds":$rounds,"mode":"local-cluster","cores_per_executor":$coresPerExec,"n_executors":$execSmall,"4n_executors":$execBig,"t_n_sec":$tN%.2f,"thru_n_docs_per_sec":${benchN / tN}%.1f,"t_4n_sec":$t4%.2f,"thru_4n_docs_per_sec":${benchN / t4}%.1f,"runs_n":$runsN,"runs_4n":$runs4}""")
   }
 
   private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)

@@ -233,6 +233,10 @@ object SparkEntry {
     "q11_quality" -> ((s, dir) =>
       TextAnalysis.quality(docs(s, dir)).limit(2000)),
     "q12_langid" -> ((s, dir) => TextAnalysis.langId(docs(s, dir)).limit(2000)),
+    // NFC normalization (custom codegen'd Expression) + language-aware
+    // segmentation — the corpus is denormalized in-query so the oracle
+    // proves real recombination (VERDICT r3 "next" #7)
+    "q16_normalize" -> ((s, dir) => TextAnalysis.normalize(docs(s, dir)).limit(2000)),
 
     // ---- dedup / similarity / fingerprint (Spark-only oracles) ----
     "d1_exact_dedup_groups" -> ((s, dir) => Dedup.exact(docsWithDups(s, dir))),
@@ -469,6 +473,25 @@ object SparkEntry {
           s"WHEN $de > $fr AND $de > $es THEN 'de' " +
           s"WHEN $fr > $es AND $fr >= $de THEN 'fr' " +
           s"WHEN $es > 0 THEN 'es' ELSE 'en' END AS lang_pred, " +
-          "lang AS lang_true FROM documents ORDER BY doc_id LIMIT 2000"))
+          "lang AS lang_true FROM documents ORDER BY doc_id LIMIT 2000"),
+      "q16_normalize" -> {
+        // mirror TextAnalysis.normalize: plant accents + CJK (the
+        // fixture text is pure ASCII), NFC→NFD them, renormalize with
+        // DuckDB's independent nfc_normalize, segment CJK
+        // per-ideograph + spaced scripts per whitespace token
+        val seeded = "replace(text, 'spark', " +
+          "'sp'||chr(228)||'rk caf'||chr(233)||' '||chr(28450)||chr(23383))"
+        val decomp = s"replace(replace($seeded, " +
+          "chr(233), 'e'||chr(769)), chr(228), 'a'||chr(776))"
+        val cjkGone = s"regexp_replace($seeded, '[\\x{4e00}-\\x{9fff}]', '', 'g')"
+        val spacedToks = "len(list_filter(regexp_split_to_array(" +
+          s"regexp_replace($seeded, '[\\x{4e00}-\\x{9fff}]', ' ', 'g'), '\\s+'), t -> len(t) > 0))"
+        s"SELECT doc_id, md5(nfc_normalize($decomp)) AS nfc_md5, " +
+          s"CAST(length(nfc_normalize($decomp)) AS BIGINT) AS nfc_len, " +
+          s"CAST(length($decomp) - length(nfc_normalize($decomp)) AS BIGINT) AS recombined, " +
+          s"CAST(length($seeded) - length($cjkGone) AS BIGINT) AS cjk_chars, " +
+          s"CAST(length($seeded) - length($cjkGone) + $spacedToks AS BIGINT) AS seg_tokens " +
+          "FROM documents ORDER BY doc_id LIMIT 2000"
+      })
   }
 }

@@ -199,7 +199,12 @@ case class FloatVecLshKeys(child: Expression, dim: Int, planes: Int, tables: Int
 object GraftFunctions {
   val DotName = "graft_fvdot"
   val LshName = "graft_fvlsh"
+  val NfcName = "graft_nfc"
   import org.apache.spark.sql.graft.ColumnBridge
+
+  /** Codegen'd Unicode NFC normalization as a Column. */
+  def nfc(s: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(s)))
 
   /** Codegen'd float-vector dot product as a Column. */
   def fvdot(a: Column, b: Column): Column =

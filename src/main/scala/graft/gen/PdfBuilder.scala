@@ -28,7 +28,7 @@ object PdfBuilder {
       filterKind: Int, // 0 none | 1 flate | 2 ahx | 3 a85 | 4 a85+flate chain | 5 rle | 6 lzw
       showKind: Int, // 0 Tj | 1 TJ kerning | 2 '/" forms
       posKind: Int, // 0 Td | 1 Tm | 2 T*+TL
-      fontKind: Int, // 0 WinAnsi | 1 Differences | 2 ToUnicode bfchar | 3 Type0 Identity-H | 4 MacRoman | 5 Type3 | 6 Type0 UniGB-UCS2-H (UTF-16BE codes, NO ToUnicode) | 7 Symbol (built-in encoding, no /Widths) | 8 Type0 EMBEDDED CMap /Encoding stream (mixed 1/2-byte codespace) + ToUnicode | 9 Type0 GBK-EUC-H (byte-oriented predefined CMap, GBK bytes, NO ToUnicode)
+      fontKind: Int, // 0 WinAnsi | 1 Differences | 2 ToUnicode bfchar | 3 Type0 Identity-H | 4 MacRoman | 5 Type3 | 6 Type0 UniGB-UCS2-H (UTF-16BE codes, NO ToUnicode) | 7 Symbol (built-in encoding, no /Widths) | 8 Type0 EMBEDDED CMap /Encoding stream (mixed 1/2-byte codespace) + ToUnicode | 9 Type0 GBK-EUC-H (byte-oriented predefined CMap, GBK bytes, NO ToUnicode) | 10 ZapfDingbats (built-in encoding, no /Widths, per-glyph AFM)
       nPages: Int, // 1 | 3 (intermediate /Pages node when 3)
       formXObject: Boolean,
       inlineImage: Boolean,
@@ -43,9 +43,8 @@ object PdfBuilder {
       /** Standard security handler, EMPTY user password (ISO 32000-1
         * §7.6.3): 0 none | 1 RC4-40 /V1 /R2 | 2 RC4-128 /V2 /R3 |
         * 3 AES-128 /V4 /R4 /AESV2 | 4 AES-256 /V5 /R6 /AESV3
-        * (ISO 32000-2). Gated off for Type0 font kinds by
-        * the corpus generator (their CIDSystemInfo carries top-level
-        * strings we deliberately keep plaintext-free under encryption).
+        * (ISO 32000-2). Applies to EVERY font kind since r4 — Type0
+        * CIDSystemInfo strings encrypt per §7.6.2 via FileAsm.str.
         */
       encryptKind: Int = 0)
 
@@ -63,6 +62,11 @@ object PdfBuilder {
   /** Unicode → Symbol code (generator-side reverse of Glyphs.symbol). */
   private lazy val symbolRev: Map[Int, Int] =
     Glyphs.symbol.zipWithIndex.collect { case (cp, code) if cp >= 0 => cp -> code }
+      .groupBy(_._1).map { case (cp, xs) => cp -> xs.map(_._2).min }
+
+  /** Unicode → ZapfDingbats code (generator-side reverse of Glyphs.dingbats). */
+  private lazy val dingbatsRev: Map[Int, Int] =
+    Glyphs.dingbats.zipWithIndex.collect { case (cp, code) if cp >= 0 => cp -> code }
       .groupBy(_._1).map { case (cp, xs) => cp -> xs.map(_._2).min }
 
   /** Unicode → MacRoman code. */
@@ -534,6 +538,7 @@ object PdfBuilder {
       case 4 => macRomanRev.getOrElse(ch.toInt, '?'.toInt)
       case 5 => ch.toInt // Type3: ASCII via /Differences glyph names
       case 7 => symbolRev.getOrElse(ch.toInt, '?'.toInt) // Symbol built-in
+      case 10 => dingbatsRev.getOrElse(ch.toInt, 0x20) // Dingbats built-in
       case _ => winAnsiRev.getOrElse(ch.toInt, '?'.toInt)
     }
 
@@ -543,6 +548,7 @@ object PdfBuilder {
     def cpOf(ch: Char): Int = fontKind match {
       case 4 => Glyphs.macRoman(macRomanRev.getOrElse(ch.toInt, '?'.toInt))
       case 7 => Glyphs.symbol(symbolRev.getOrElse(ch.toInt, '?'.toInt))
+      case 10 => Glyphs.dingbats(dingbatsRev.getOrElse(ch.toInt, 0x20))
       case _ => Glyphs.winAnsi(winAnsiRev.getOrElse(ch.toInt, '?'.toInt))
     }
 
@@ -739,6 +745,10 @@ object PdfBuilder {
         // symbolic base-14: built-in encoding, no /Encoding, no /Widths —
         // the extractor must supply BOTH from its Symbol tables
         "<< /Type /Font /Subtype /Type1 /BaseFont /Symbol >>"
+      case 10 =>
+        // same deal for the other symbolic base-14: per-glyph AFM widths
+        // (a1..a94) drive the splitShow gap axis
+        "<< /Type /Font /Subtype /Type1 /BaseFont /ZapfDingbats >>"
       case 5 =>
         // Type3 with /CharProcs + /Differences over the ASCII range; the
         // glyph procedures are inert (text extraction never renders them)
@@ -973,7 +983,8 @@ object PdfBuilder {
     // /Widths — the x-advance of the first segment is then computable
     // only from the Core-14 AFM metrics (Glyphs.stdWidth)
     val splitApplies = spec.splitShow && spec.showKind == 0 && spec.posKind <= 1 &&
-      (spec.fontKind == 0 || spec.fontKind == 4 || spec.fontKind == 7)
+      (spec.fontKind == 0 || spec.fontKind == 4 || spec.fontKind == 7 ||
+        spec.fontKind == 10)
     val baseFontName = if (spec.fontKind == 4) "Times-Roman" else "Helvetica"
 
     /** Mirror of the interpreter's advance for a shown segment:
@@ -986,6 +997,8 @@ object PdfBuilder {
         val w =
           if (spec.fontKind == 7) // Symbol widths are CODE-keyed
             Glyphs.symbolCodeWidths.getOrElse(enc.codeOf(s.charAt(i)), 500)
+          else if (spec.fontKind == 10) // Dingbats too (a1..a94 AFM)
+            Glyphs.dingbatsCodeWidths.getOrElse(enc.codeOf(s.charAt(i)), 740)
           else Glyphs.stdWidth(baseFontName, enc.cpOf(s.charAt(i)))
         a += w / 1000.0 * FS
         i += 1

@@ -47,6 +47,14 @@ object TextGen {
     */
   private val embedWords = Vector("αβγ", "Ünïcødé", "漢字", "引擎")
 
+  /** Ornament "words" for ZapfDingbats (fontKind 10): built from the
+    * mapped a1..a94 range (U+2701..U+275E), deterministic.
+    */
+  private val dingbatWords: Vector[String] =
+    (0 until 18).map { i =>
+      (0 to 2 + i % 3).map(j => (0x2701 + (i * 5 + j) % 94).toChar).mkString
+    }.toVector
+
   /** A word survives for fontKind 9 iff GBK encode→decode is faithful
     * (the generator and extractor share the JDK GBK coders, so this is
     * exactly the encodable set — é/à-style pinyin accents included,
@@ -72,6 +80,7 @@ object TextGen {
       case 7 => greekWords // Symbol encodes ONLY its own glyph set
       case 8 => base ++ embedWords // embedded CMap: BMP chars via 2-byte codes
       case 9 => (base ++ langWords.getOrElse(lang, Vector.empty)).filter(gbkClean)
+      case 10 => dingbatWords // ZapfDingbats encodes ONLY its ornament set
       case _ => base
     }
   }

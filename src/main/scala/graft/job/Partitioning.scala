@@ -28,10 +28,15 @@ object Partitioning {
     BucketSpec(buckets = p, bigDocBytes = 1L << 20, bigBuckets = p)
   }
 
-  /** Bucket column over (url, html). */
+  /** Bucket column over (url, html). `bigBuckets = 0` disables the
+    * big-doc range (the UNSALTED control used by SkewBench's A/B).
+    */
   def bucketCol(spec: BucketSpec, url: Column, html: Column): Column = {
     val base = pmod(xxhash64(url), lit(spec.buckets))
-    val big = lit(spec.buckets) + pmod(xxhash64(url), lit(spec.bigBuckets))
-    when(length(html) > spec.bigDocBytes, big).otherwise(base).cast("int")
+    if (spec.bigBuckets <= 0) base.cast("int")
+    else {
+      val big = lit(spec.buckets) + pmod(xxhash64(url), lit(spec.bigBuckets))
+      when(length(html) > spec.bigDocBytes, big).otherwise(base).cast("int")
+    }
   }
 }

@@ -66,6 +66,44 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Unicode NFC normalization + language-aware segmentation for the
+    * tokenizer-bound training-data surface (SURVEY §2.7; VERDICT r3
+    * "next" #7). Extraction output itself stays UN-normalized (golden
+    * byte-identity is the north rule); this is the opt-in shape.
+    *
+    * The corpus is born NFC, so the query first DEnormalizes the
+    * accented vowels into combining sequences — the nfc() expression
+    * must then provably recombine them (recombined > 0 on accented
+    * docs, and nfc_len == the original codepoint count). Segmentation
+    * is language-aware in the way that matters at crawl scale:
+    * space-free CJK counts per-ideograph, spaced scripts per
+    * whitespace token.
+    */
+  def normalize(docs: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions.nfc
+    // the driver fixture's text is pure ASCII, which would make every
+    // normalization branch trivially zero — plant accents + CJK
+    // deterministically IN-QUERY (mirrored literally in the oracle SQL)
+    // so the DuckDB gate exercises real recombination and segmentation
+    val seeded = replace(col("text"),
+      lit("spark"), lit("sp\u00e4rk caf\u00e9 \u6f22\u5b57"))
+    // NFC → NFD for the planted accent set (ä é: base + U+0308/U+0301)
+    val decomp = replace(replace(seeded,
+      lit("\u00e9"), lit("e\u0301")), lit("\u00e4"), lit("a\u0308"))
+    val renorm = nfc(decomp)
+    val cjkOnly = regexp_replace(seeded, "[\\x{4e00}-\\x{9fff}]", "")
+    val spaced = regexp_replace(seeded, "[\\x{4e00}-\\x{9fff}]", " ")
+    docs.select(
+      col("doc_id"),
+      md5(renorm).as("nfc_md5"),
+      length(renorm).cast("long").as("nfc_len"),
+      (length(decomp) - length(renorm)).cast("long").as("recombined"),
+      (length(seeded) - length(cjkOnly)).cast("long").as("cjk_chars"),
+      (length(seeded) - length(cjkOnly) +
+        size(filter(split(spaced, "\\s+"), t => length(t) > 0))).cast("long").as("seg_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprint: min/max xxhash64 over word 5-gram rolling
     * windows (winnowing-lite). Spark-only (no portable SQL xxhash64).
     */

@@ -268,6 +268,7 @@ object Fonts {
     val effWidths: Map[Int, Int] =
       if (widths.nonEmpty) widths
       else if (isSymbol) Glyphs.symbolCodeWidths // code-keyed (own encoding)
+      else if (isDingbats) Glyphs.dingbatsCodeWidths // code-keyed (own encoding)
       else Glyphs.afmTable(baseFont) match {
         case Some(tbl) =>
           val b = Map.newBuilder[Int, Int]

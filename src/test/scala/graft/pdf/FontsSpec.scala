@@ -200,6 +200,12 @@ class FontsSpec extends AnyFunSuite {
     assert(Glyphs.symbolCodeWidths('a') == 631)
     assert(Glyphs.symbolCodeWidths('m') == 576)
     assert(Glyphs.symbolCodeWidths(0x20) == 250)
+    // ZapfDingbats per-glyph AFM (r4): a1=974, a88=138, a94=668 + space
+    assert(Glyphs.dingbatsCodeWidths(0x21) == 974)
+    assert(Glyphs.dingbatsCodeWidths(0x21 + 87) == 138)
+    assert(Glyphs.dingbatsCodeWidths(0x7E) == 668)
+    assert(Glyphs.dingbatsCodeWidths(0x20) == 278)
+    assert(!Glyphs.dingbatsCodeWidths.contains(0x7F))
     assert(Glyphs.defaultWidth("ZapfDingbats") == 740)
   }
 
