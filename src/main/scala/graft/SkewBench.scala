@@ -62,12 +62,30 @@ object SkewBench {
     spark.sparkContext.addSparkListener(stats)
 
     val (cp, _) = gen.CorpusTables.ensure(spark, SparkEntry.DataDir, docs, paraScale)
+    // DELIBERATE skew: the standard corpus caps documents at 1500
+    // paragraphs (big-tail ≈ sub-MB), which a 32-bucket hash absorbs —
+    // so union in 24 UNCAPPED ~8 MB documents, the "handful of 100 MB
+    // documents" shape of BASELINE.json at this tier's scale. Unsalted,
+    // url-hash drops several giants into the same mixed bucket
+    // (birthday collisions over 32); salted, they spread over their own
+    // dedicated range.
+    val giants = (0 until 24).map { i =>
+      val rng = new scala.util.Random(gen.CorpusGen.Seed + 10000000L + i)
+      val pool = gen.TextGen.pool("en", -1)
+      val paras = gen.TextGen.docParagraphs(rng, pool, big = true,
+        paraScale = 2000, capParas = 120000)
+      val built = gen.HtmlBuilder.build(gen.HtmlBuilder.specFor(10000000L + i, rng),
+        paras.map(_.map(_.mkString(" "))), rng)
+      (s"https://synth.test/giant/$i", built.bytes)
+    }
     val input = spark.read.parquet(cp).select("url", "html")
+      .union(spark.createDataFrame(giants).toDF("url", "html").repartition(8))
 
     val salted = Partitioning.defaultSpec(16)
     val unsalted = salted.copy(bigBuckets = 0)
 
-    def wave(spec: Partitioning.BucketSpec, aqe: Boolean): (Double, Seq[(Long, Long, Double)]) = {
+    def wave(spec: Partitioning.BucketSpec, aqe: Boolean)
+      : (Double, Seq[(Long, Long, Double)], (Double, Double, Double)) = {
       spark.conf.set("spark.sql.adaptive.enabled", aqe.toString)
       // AQE only helps a plain repartition through rebalance-skew
       // optimization; leave defaults otherwise so the measurement shows
@@ -84,7 +102,22 @@ object SkewBench {
       ExtractJob.plan(spark, input, null, spec).toDF()
         .write.mode("overwrite").partitionBy("bucket").parquet(out)
       val sec = (System.nanoTime() - t0) / 1e9
-      (sec, stats.top2)
+      (sec, stats.top2, bucketBytes(out))
+    }
+
+    /** (maxMB, p50MB, ratio) of output bytes per bucket directory —
+      * the scale-independent reading: a bucket is the write/resume unit,
+      * so its byte ceiling is what the salt bounds at 100 TB.
+      */
+    def bucketBytes(out: String): (Double, Double, Double) = {
+      val dirs = new java.io.File(out).listFiles(
+        (f: java.io.File) => f.isDirectory && f.getName.startsWith("bucket="))
+      if (dirs == null || dirs.isEmpty) return (0, 0, 0)
+      val sizes = dirs.map(_.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(_.length()).sum / 1e6).sorted
+      val mx = sizes.last
+      val p50 = sizes(sizes.length / 2)
+      (mx, p50, if (p50 > 0) mx / p50 else 0.0)
     }
 
     // warm-up (JIT + corpus cache) — discard
@@ -94,13 +127,14 @@ object SkewBench {
       ("salted", salted, false), ("unsalted", unsalted, false),
       ("unsalted_aqe", unsalted, true), ("salted_aqe", salted, true))
       .map { case (name, spec, aqe) =>
-        val (sec, stages) = wave(spec, aqe)
+        val (sec, stages, (bMax, bP50, bRatio)) = wave(spec, aqe)
         val names = Seq("extract_stage", "sink_stage")
         val parts = stages.zip(names).map { case ((max, p50, ratio), sn) =>
           System.err.println(f"[skew] $name%-14s $sn%-13s taskMax=${max / 1000.0}%6.1fs p50=${p50 / 1000.0}%5.1fs skew=$ratio%5.2fx (wall=$sec%6.1fs)")
           f""""$sn":{"task_max_sec":${max / 1000.0}%.2f,"task_p50_sec":${p50 / 1000.0}%.2f,"skew_ratio":$ratio%.2f}"""
         }
-        f""""$name":{"wall_sec":$sec%.2f,${parts.mkString(",")}}"""
+        System.err.println(f"[skew] $name%-14s bucket_bytes  maxMB=$bMax%6.1f p50MB=$bP50%6.1f skew=$bRatio%5.2fx")
+        f""""$name":{"wall_sec":$sec%.2f,${parts.mkString(",")},"bucket_max_mb":$bMax%.1f,"bucket_p50_mb":$bP50%.1f,"bucket_skew":$bRatio%.2f}"""
       }
     println(s"""{"metric":"skew_ab","docs":$docs,"para_scale":$paraScale,${rows.mkString(",")}}""")
     spark.stop()

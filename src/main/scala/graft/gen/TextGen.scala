@@ -101,8 +101,8 @@ object TextGen {
     * capped so the big tail stays a straggler-exercise, not a wall.
     */
   def docParagraphs(rng: Random, pool: Vector[String], big: Boolean,
-                    paraScale: Int = 1): Vector[PdfBuilder.Para] = {
-    val n = math.min((1 + rng.nextInt(12)) * (if (big) 100 else 1) * paraScale, 1500)
+                    paraScale: Int = 1, capParas: Int = 1500): Vector[PdfBuilder.Para] = {
+    val n = math.min((1 + rng.nextInt(12)) * (if (big) 100 else 1) * paraScale, capParas)
     Vector.fill(n)(paragraph(rng, pool))
   }
 }
