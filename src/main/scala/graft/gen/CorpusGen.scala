@@ -79,11 +79,13 @@ object CorpusGen {
     // zh needs Type0: cycle Identity-H+ToUnicode (3), the predefined
     // UniGB-UCS2-H CMap with NO ToUnicode (6), and the byte-oriented
     // GBK-EUC-H CMap with NO ToUnicode (9, r4). Non-zh docs cycle the
-    // other kinds incl. the embedded-CMap /Encoding stream (8, r4) and
-    // ZapfDingbats per-glyph AFM (10, r4).
+    // other kinds incl. the embedded-CMap /Encoding stream (8, r4),
+    // ZapfDingbats per-glyph AFM (10, r4) and the symbolic embedded
+    // TrueType whose text is recoverable only through its sfnt
+    // cmap/post program (11, r4).
     val fontKind =
       if (lang == "zh") Vector(3, 6, 9)((i / 2) % 3)
-      else Vector(0, 1, 2, 3, 4, 5, 6, 7, 8, 10)(i % 10)
+      else Vector(0, 1, 2, 3, 4, 5, 6, 7, 8, 10, 11)(i % 11)
     PdfBuilder.Spec(
       xrefKind = i % 5,
       filterKind = (i / 5) % 7,

@@ -28,7 +28,7 @@ object PdfBuilder {
       filterKind: Int, // 0 none | 1 flate | 2 ahx | 3 a85 | 4 a85+flate chain | 5 rle | 6 lzw
       showKind: Int, // 0 Tj | 1 TJ kerning | 2 '/" forms
       posKind: Int, // 0 Td | 1 Tm | 2 T*+TL
-      fontKind: Int, // 0 WinAnsi | 1 Differences | 2 ToUnicode bfchar | 3 Type0 Identity-H | 4 MacRoman | 5 Type3 | 6 Type0 UniGB-UCS2-H (UTF-16BE codes, NO ToUnicode) | 7 Symbol (built-in encoding, no /Widths) | 8 Type0 EMBEDDED CMap /Encoding stream (mixed 1/2-byte codespace) + ToUnicode | 9 Type0 GBK-EUC-H (byte-oriented predefined CMap, GBK bytes, NO ToUnicode) | 10 ZapfDingbats (built-in encoding, no /Widths, per-glyph AFM)
+      fontKind: Int, // 0 WinAnsi | 1 Differences | 2 ToUnicode bfchar | 3 Type0 Identity-H | 4 MacRoman | 5 Type3 | 6 Type0 UniGB-UCS2-H (UTF-16BE codes, NO ToUnicode) | 7 Symbol (built-in encoding, no /Widths) | 8 Type0 EMBEDDED CMap /Encoding stream (mixed 1/2-byte codespace) + ToUnicode | 9 Type0 GBK-EUC-H (byte-oriented predefined CMap, GBK bytes, NO ToUnicode) | 10 ZapfDingbats (built-in encoding, no /Widths, per-glyph AFM) | 11 symbolic EMBEDDED TrueType (FontFile2 sfnt: (3,0) cmap at 0xF000+code + post 2.0 uniXXXX names; NO /Encoding, NO ToUnicode)
       nPages: Int, // 1 | 3 (intermediate /Pages node when 3)
       formXObject: Boolean,
       inlineImage: Boolean,
@@ -514,6 +514,14 @@ object PdfBuilder {
     // fontKind 2: chars deliberately remapped away from their WinAnsi slot
     val bfcharRemap: Map[Char, Int] = Map('ω' -> 0xD7, '✓' -> 0xD8)
 
+    // fontKind 11: every char gets an arbitrary 1-byte code (space
+    // pinned at 0x20); the TTF's cmap/post carry the only Unicode route
+    val symOf = scala.collection.mutable.LinkedHashMap.empty[Char, Int]
+    private var nextSymCode = 0x21
+    def symCode(ch: Char): Int = symOf.getOrElseUpdate(ch,
+      if (ch == ' ') 0x20
+      else { val c = nextSymCode; nextSymCode += 1; c })
+
     // fontKind 8: non-ASCII chars get 2-byte codes inside the embedded
     // CMap's <8140> <FEFE> codespace range (low byte kept >= 0x40);
     // ASCII shows as 1-byte codes straight from the <20> <7E> range
@@ -539,6 +547,7 @@ object PdfBuilder {
       case 5 => ch.toInt // Type3: ASCII via /Differences glyph names
       case 7 => symbolRev.getOrElse(ch.toInt, '?'.toInt) // Symbol built-in
       case 10 => dingbatsRev.getOrElse(ch.toInt, 0x20) // Dingbats built-in
+      case 11 => symCode(ch) // symbolic TTF: arbitrary code assignment
       case _ => winAnsiRev.getOrElse(ch.toInt, '?'.toInt)
     }
 
@@ -749,6 +758,15 @@ object PdfBuilder {
         // same deal for the other symbolic base-14: per-glyph AFM widths
         // (a1..a94) drive the splitShow gap axis
         "<< /Type /Font /Subtype /Type1 /BaseFont /ZapfDingbats >>"
+      case 11 =>
+        // symbolic EMBEDDED TrueType: no /Encoding, no /ToUnicode —
+        // text is recoverable ONLY through the FontFile2 sfnt program
+        // (code → GID via the (3,0) cmap, GID → uniXXXX via post 2.0)
+        val descNum = asm.alloc(); descNumA = descNum
+        val ffNum = asm.alloc(); procNumA = ffNum // reuse slot for the font file
+        val widths = (0x20 to 0x7E).map(_ => 500).mkString(" ")
+        s"<< /Type /Font /Subtype /TrueType /BaseFont /SynthSym " +
+          s"/FirstChar 32 /LastChar 126 /Widths [$widths] /FontDescriptor $descNum 0 R >>"
       case 5 =>
         // Type3 with /CharProcs + /Differences over the ASCII range; the
         // glyph procedures are inert (text extraction never renders them)
@@ -926,6 +944,19 @@ object PdfBuilder {
       val defl = asm.enc(tuNum, flate(latin1(body)))
       asm.addAt(tuNum, s"<< /Filter /FlateDecode /Length ${defl.length} >>\nstream\n" +
         new String(defl, "ISO-8859-1") + "\nendstream")
+    } else if (spec.fontKind == 11) {
+      val descNum = descNumA
+      val ffNum = procNumA
+      val ttf = TtfBuilder.build(enc.symOf.toSeq.map { case (ch, code) => code -> ch.toInt })
+      val ff = asm.enc(ffNum, flate(ttf))
+      asm.addAt(ffNum,
+        s"<< /Filter /FlateDecode /Length1 ${ttf.length} /Length ${ff.length} >>\nstream\n" +
+          new String(ff, "ISO-8859-1") + "\nendstream")
+      asm.addAt(descNum,
+        "<< /Type /FontDescriptor /FontName /SynthSym /Flags 4 /ItalicAngle 0 " +
+          "/Ascent 800 /Descent -200 /CapHeight 700 /StemV 80 " +
+          s"/FontBBox [0 -200 1000 800] /FontFile2 $ffNum 0 R >>",
+        packable = true)
     } else if (spec.fontKind == 5) {
       // inert Type3 glyph procedure shared by every /CharProcs entry
       val procNum = procNumA

@@ -31,7 +31,12 @@ final case class FontInfo(
     /** Byte-oriented predefined CMap family (PredefCMaps): code bytes
       * decode to Unicode through this JDK charset.
       */
-    byteCharset: java.nio.charset.Charset = null) {
+    byteCharset: java.nio.charset.Charset = null,
+    /** Symbolic-TrueType recovery table (Sfnt): code → Unicode via the
+      * embedded font program's (3,0) cmap + post/inverse-Unicode-cmap.
+      * Null when absent; "" entries fall through to the encoding chain.
+      */
+    sfntMap: Array[String] = null) {
 
   // decode caches: glyph decoding is the hottest per-character path of
   // the whole engine; caching turns repeated map lookups + String
@@ -64,7 +69,12 @@ final case class FontInfo(
     diffNames.get(code).flatMap(Glyphs.glyphToUnicode) match {
       case Some(s) => s
       case None =>
-        if (!isType0 && encTable != null && code >= 0 && code < 256 && encTable(code) >= 0)
+        if (sfntMap != null && code >= 0 && code < 256 && sfntMap(code).nonEmpty)
+          // symbolic TrueType: the embedded font program is the ONLY
+          // truthful route — a Standard/WinAnsi fallback would emit
+          // wrong Latin letters for symbol codes
+          sfntMap(code)
+        else if (!isType0 && encTable != null && code >= 0 && code < 256 && encTable(code) >= 0)
           new String(Character.toChars(encTable(code)))
         else if (byteCharset != null) {
           // byte-oriented predefined CMap (or a usecmap base): the code
@@ -288,8 +298,32 @@ object Fonts {
         case None => Map.empty
       }
 
+    // symbolic-TrueType recovery (SURVEY §7.2 r5 #1, pulled into r4):
+    // a TrueType font with NO /Encoding uses its built-in mapping
+    // (§9.6.6.4) — i.e. the embedded font program's (3,0) symbol cmap.
+    // Chain code → GID → Unicode via `post` names / inverse Unicode
+    // cmap; unmapped codes fall through to the encoding-table chain.
+    val sfntMap: Array[String] =
+      if (fontDict.get("Encoding").isDefined || isSymbol || isDingbats ||
+        (subtype != "TrueType" && subtype != "Type0")) null
+      else {
+        val fd = doc.dictOf(fontDict.get("FontDescriptor").getOrElse(PNull))
+        fd.get("FontFile2").orElse(fd.get("FontFile3")).map(doc.resolve) match {
+          case Some(s: PStream) =>
+            val maps =
+              try Sfnt.parse(doc.decodeStream(s))
+              catch { case _: Exception => Sfnt.empty }
+            if (!maps.usable) null
+            else {
+              val t = Array.tabulate(256)(maps.symbolCodeToUnicode)
+              if (t.exists(_.nonEmpty)) t else null
+            }
+          case _ => null
+        }
+      }
+
     FontInfo(resName, subtype, 1, toUni, encTable, diffs, effWidths, missing,
-      isType0 = false, identityCid = false)
+      isType0 = false, identityCid = false, sfntMap = sfntMap)
   }
 
   /** Thrown for Type0 fonts using a predefined CID CMap (UniGB-UCS2-H

@@ -362,6 +362,29 @@ class FontsSpec extends AnyFunSuite {
     assert(r.text == text, r.text)
   }
 
+  test("symbolic embedded TrueType: sfnt (3,0) cmap + post names recover text") {
+    val inflater = new java.util.zip.Inflater()
+    // codes deliberately NOT the chars' ASCII values: only the font
+    // program knows the mapping
+    val assign = Seq(0x20 -> ' '.toInt, 0x41 -> 'z'.toInt, 0x42 -> 'y'.toInt,
+      0x43 -> 0x03B1, 0x44 -> 0x6F22) // α, 漢
+    val ttf = graft.gen.TtfBuilder.build(assign)
+    val maps = Sfnt.parse(ttf)
+    assert(maps.usable)
+    assert(maps.symbolCodeToUnicode(0x41) == "z")
+    assert(maps.symbolCodeToUnicode(0x43) == "α")
+    assert(maps.symbolCodeToUnicode(0x44) == "漢")
+    assert(maps.symbolCodeToUnicode(0x45) == "")
+    val ttfHex = ttf.map(b => f"${b & 0xff}%02X").mkString
+    val font = "<< /Type /Font /Subtype /TrueType /BaseFont /SynthSym " +
+      "/FirstChar 32 /LastChar 126 /FontDescriptor 7 0 R >>"
+    val desc = "<< /Type /FontDescriptor /FontName /SynthSym /Flags 4 /FontFile2 8 0 R >>"
+    val ff = s"<< /Filter /ASCIIHexDecode /Length ${ttfHex.length + 1} /Length1 ${ttf.length} >>\nstream\n$ttfHex>\nendstream"
+    val r = PdfExtractor.extract(
+      miniPdf(font, "(AB CD) Tj", extraObjs = Seq(7 -> desc, 8 -> ff)), inflater)
+    assert(r.text == "zy α漢", r.text)
+  }
+
   test("embedded CMap /W widths are CID-keyed through code->cid") {
     val cm = CidCMap.parse(
       """1 begincodespacerange <00> <FF> endcodespacerange
