@@ -413,6 +413,8 @@ object SparkEntry {
           "('err://cmap-embedded', 'pdf', 'ok'), " + // r4: usecmap GBK base decodes
           "('err://cmap-embedded-identity', 'error', 'unsupported-cmap:embedded'), " +
           "('err://cmap-gb18030', 'error', 'unsupported-cmap:GBK2K-H'), " +
+          "('err://image-only', 'error', 'no-text-layer'), " + // r4: scanned-PDF class
+
           "('err://ok-cjk-ucs2', 'pdf', 'ok'), " +
           "('err://empty', 'html', 'ok'), " +
           "('err://encrypted', 'error', 'encrypted'), " +

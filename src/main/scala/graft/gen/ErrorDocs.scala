@@ -12,14 +12,16 @@ object ErrorDocs {
   /** Minimal valid PDF around `extraObjs` (object 5 is the /F1 font). */
   private def pdf(font: String, trailerExtra: String = "",
                   extraObjs: Seq[(Int, String)] = Nil,
-                  show: String = "(Hello World) Tj"): Array[Byte] = {
+                  show: String = "(Hello World) Tj",
+                  rawContent: Option[String] = None,
+                  resExtra: String = ""): Array[Byte] = {
     val objs = Seq(
       1 -> "<< /Type /Catalog /Pages 2 0 R >>",
       2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
       3 -> ("<< /Type /Page /Parent 2 0 R /Resources " +
-        "<< /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"),
+        s"<< /Font << /F1 5 0 R >>$resExtra >> /Contents 4 0 R >>"),
       4 -> {
-        val content = s"BT /F1 12 Tf 72 720 Td $show ET"
+        val content = rawContent.getOrElse(s"BT /F1 12 Tf 72 720 Td $show ET")
         s"<< /Length ${content.length} >>\nstream\n$content\nendstream"
       },
       5 -> font,
@@ -106,6 +108,16 @@ object ErrorDocs {
       pdf(embeddedCMapFont, extraObjs = Seq(7 -> embeddedCMapStream))),
     ("err://cmap-embedded-identity",
       pdf(embeddedCMapFont, extraObjs = Seq(7 -> embeddedIdentityStream))),
+    // a scanned-style page: one image XObject, zero text operators —
+    // must classify as the countable no-text-layer class (r4), never a
+    // silent empty row
+    ("err://image-only",
+      pdf(helvetica,
+        rawContent = Some("q 200 0 0 200 100 500 cm /Im1 Do Q"),
+        resExtra = " /XObject << /Im1 7 0 R >>",
+        extraObjs = Seq(7 -> ("<< /Subtype /Image /Width 4 /Height 4 " +
+          "/ColorSpace /DeviceGray /BitsPerComponent 8 /Length 16 >>\nstream\n" +
+          "0123456789abcdef" + "\nendstream")))),
     // UTF-16BE hex codes for 漢字文本 — decodes via the CMap name alone
     ("err://ok-cjk-ucs2", pdf(cjkUcs2, show = "<6F225B576587672C> Tj")),
     ("err://pdf-junk", latin1("%PDF-1.7\njust junk, no objects at all")),

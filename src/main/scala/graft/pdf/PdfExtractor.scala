@@ -43,10 +43,17 @@ object PdfExtractor {
       }
       pageIdx += 1
     }
+    // the image-presence sentinel never reaches the warn column
+    val sawImage = warns.remove(ContentInterp.ImageSeen)
     // per-font degradation recovered NOTHING → the whole document is
     // the countable error row it always was (x6 taxonomy contract)
     if (sb.length == 0 && warns.nonEmpty)
       throw new RuntimeException(warns.head)
+    // images drawn but zero text anywhere: the scanned-PDF class, a
+    // COUNTED error row (OCR-recoverable downstream), not a silent
+    // empty (SURVEY §7.2 r5 #3, pulled into r4)
+    if (sb.length == 0 && sawImage && doc.pages.nonEmpty)
+      throw new RuntimeException("no-text-layer")
     PdfResult(sb.toString, spans.result(), doc.pages.size, warns.toVector)
   }
 }

@@ -162,6 +162,28 @@ class XrefDocSpec extends AnyFunSuite {
     assert(e.getMessage == "unsupported-cmap:GBK2K-H")
   }
 
+  test("image-only page classifies no-text-layer; image + text stays clean") {
+    val content = "q 200 0 0 200 100 500 cm /Im1 Do Q"
+    val imgObjs = baseObjs.map {
+      case (3, _) => 3 -> ("<< /Type /Page /Parent 2 0 R /Resources " +
+        "<< /Font << /F1 5 0 R >> /XObject << /Im1 6 0 R >> >> /Contents 4 0 R >>")
+      case (4, _) => 4 -> s"<< /Length ${content.length} >>\nstream\n$content\nendstream"
+      case o => o
+    } :+ (6 -> ("<< /Subtype /Image /Width 4 /Height 4 /ColorSpace /DeviceGray " +
+      "/BitsPerComponent 8 /Length 16 >>\nstream\n0123456789abcdef\nendstream"))
+    val e = intercept[Exception] { PdfExtractor.extract(pdf(imgObjs), inf) }
+    assert(e.getMessage == "no-text-layer")
+    // same image + real text: full text, and the sentinel never leaks
+    // into the warn column
+    val both = s"$content BT /F1 12 Tf 72 720 Td (With text) Tj ET"
+    val bothObjs = imgObjs.map {
+      case (4, _) => 4 -> s"<< /Length ${both.length} >>\nstream\n$both\nendstream"
+      case o => o
+    }
+    val r = PdfExtractor.extract(pdf(bothObjs), inf)
+    assert(r.text == "With text" && r.warns.isEmpty, (r.text, r.warns))
+  }
+
   test("/Length as indirect reference") {
     val objs = baseObjs.map {
       case (4, _) => 4 -> "<< /Length 6 0 R >>\nstream\nBT /F1 12 Tf 72 720 Td (Indirect) Tj ET\nendstream"
