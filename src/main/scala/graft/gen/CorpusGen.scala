@@ -84,7 +84,7 @@ object CorpusGen {
     // TrueType whose text is recoverable only through its sfnt
     // cmap/post program (11, r4).
     val fontKind =
-      if (lang == "zh") Vector(3, 6, 9)((i / 2) % 3)
+      if (lang == "zh") Vector(3, 6, 9, 12)((i / 2) % 4) // 12 = vertical (r4)
       else Vector(0, 1, 2, 3, 4, 5, 6, 7, 8, 10, 11)(i % 11)
     PdfBuilder.Spec(
       xrefKind = i % 5,

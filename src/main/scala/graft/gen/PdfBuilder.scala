@@ -28,7 +28,7 @@ object PdfBuilder {
       filterKind: Int, // 0 none | 1 flate | 2 ahx | 3 a85 | 4 a85+flate chain | 5 rle | 6 lzw
       showKind: Int, // 0 Tj | 1 TJ kerning | 2 '/" forms
       posKind: Int, // 0 Td | 1 Tm | 2 T*+TL
-      fontKind: Int, // 0 WinAnsi | 1 Differences | 2 ToUnicode bfchar | 3 Type0 Identity-H | 4 MacRoman | 5 Type3 | 6 Type0 UniGB-UCS2-H (UTF-16BE codes, NO ToUnicode) | 7 Symbol (built-in encoding, no /Widths) | 8 Type0 EMBEDDED CMap /Encoding stream (mixed 1/2-byte codespace) + ToUnicode | 9 Type0 GBK-EUC-H (byte-oriented predefined CMap, GBK bytes, NO ToUnicode) | 10 ZapfDingbats (built-in encoding, no /Widths, per-glyph AFM) | 11 symbolic EMBEDDED TrueType (FontFile2 sfnt: (3,0) cmap at 0xF000+code + post 2.0 uniXXXX names; NO /Encoding, NO ToUnicode)
+      fontKind: Int, // 0 WinAnsi | 1 Differences | 2 ToUnicode bfchar | 3 Type0 Identity-H | 4 MacRoman | 5 Type3 | 6 Type0 UniGB-UCS2-H (UTF-16BE codes, NO ToUnicode) | 7 Symbol (built-in encoding, no /Widths) | 8 Type0 EMBEDDED CMap /Encoding stream (mixed 1/2-byte codespace) + ToUnicode | 9 Type0 GBK-EUC-H (byte-oriented predefined CMap, GBK bytes, NO ToUnicode) | 10 ZapfDingbats (built-in encoding, no /Widths, per-glyph AFM) | 11 symbolic EMBEDDED TrueType (FontFile2 sfnt: (3,0) cmap at 0xF000+code + post 2.0 uniXXXX names; NO /Encoding, NO ToUnicode) | 12 Type0 UniGB-UCS2-V VERTICAL (UTF-16BE codes; columns right-to-left, glyphs advance down)
       nPages: Int, // 1 | 3 (intermediate /Pages node when 3)
       formXObject: Boolean,
       inlineImage: Boolean,
@@ -565,7 +565,7 @@ object PdfBuilder {
       * For Type0, surrogate pairs consume one CID per code point.
       */
     def showString(s: String, rng: Random): String = {
-      if (fontKind == 6) {
+      if (fontKind == 6 || fontKind == 12) {
         // UTF-16BE code units verbatim (surrogate pairs = two codes)
         hexString(s.map(_.toInt))
       } else if (fontKind == 8) {
@@ -806,6 +806,13 @@ object PdfBuilder {
         val descNum = asm.alloc(); descNumA = descNum
         s"<< /Type /Font /Subtype /Type0 /BaseFont /STSong-Light /Encoding /GBK-EUC-H " +
           s"/DescendantFonts [$descNum 0 R] >>"
+      case 12 =>
+        // VERTICAL predefined CMap: same UTF-16BE code semantics as
+        // UniGB-UCS2-H, but columns advance right-to-left and glyphs
+        // down — the extractor's break/space axes must flip
+        val descNum = asm.alloc(); descNumA = descNum
+        s"<< /Type /Font /Subtype /Type0 /BaseFont /STSong-Light /Encoding /UniGB-UCS2-V " +
+          s"/DescendantFonts [$descNum 0 R] >>"
       case _ => "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     }
 
@@ -898,7 +905,7 @@ object PdfBuilder {
       val defl = asm.enc(tuNum, flate(latin1(body)))
       asm.addAt(tuNum, s"<< /Filter /FlateDecode /Length ${defl.length} >>\nstream\n" +
         new String(defl, "ISO-8859-1") + "\nendstream")
-    } else if (spec.fontKind == 6 || spec.fontKind == 9) {
+    } else if (spec.fontKind == 6 || spec.fontKind == 9 || spec.fontKind == 12) {
       val descNum = descNumA
       asm.addAt(descNum,
         "<< /Type /Font /Subtype /CIDFontType0 /BaseFont /STSong-Light " +
@@ -998,6 +1005,35 @@ object PdfBuilder {
     val ops = new StringBuilder
     val exp = new java.lang.StringBuilder
     val forms = Vector.newBuilder[(String, String)]
+
+    // VERTICAL axis (fontKind 12): each source line becomes a COLUMN —
+    // columns placed right-to-left via Tm x-steps (LineDy within a
+    // paragraph, ParaDy between), glyphs advancing down inside each
+    // column by the font's natural 1-em vertical displacement. The
+    // expected text is identical in shape to the horizontal case; only
+    // the geometry differs (Appendix A vertical rule, r4).
+    if (spec.fontKind == 12) {
+      ops.append("% synthetic vertical page content\n")
+      if (spec.markedContent) ops.append("/Synth BMC\n")
+      ops.append("BT\n/F1 12 Tf\n")
+      var x = 540.0
+      var vFirst = true
+      paras.foreach { lines =>
+        lines.zipWithIndex.foreach { case (words, li) =>
+          x -= (if (vFirst) 0.0 else if (li == 0) ParaDy else LineDy)
+          val lineText = words.mkString(" ")
+          ops.append(s"1 0 0 1 ${d1(x)} 720 Tm\n")
+          ops.append(enc.showString(lineText, rng)).append(" Tj\n")
+          if (!vFirst) exp.append(if (li == 0) "\n\n" else "\n")
+          exp.append(lineText)
+          vFirst = false
+        }
+      }
+      ops.append("ET\n")
+      if (spec.markedContent) ops.append("EMC\n")
+      return (ops.toString, exp.toString, Vector.empty)
+    }
+
     var y = 720.0
     var first = true // no line emitted yet on this page
     var needAbsolute = true // BT was (re)opened: next line positions absolutely

@@ -32,6 +32,12 @@ final case class FontInfo(
       * decode to Unicode through this JDK charset.
       */
     byteCharset: java.nio.charset.Charset = null,
+    /** Vertical writing mode (a `*-V` predefined CMap or a usecmap of
+      * one, §9.7.5.2 Table 118): glyphs advance DOWN the column and
+      * columns progress right-to-left — the interpreter flips its
+      * advance/break axes (SURVEY Appendix A vertical rule, r4).
+      */
+    vertical: Boolean = false,
     /** Symbolic-TrueType recovery table (Sfnt): code → Unicode via the
       * embedded font program's (3,0) cmap + post/inverse-Unicode-cmap.
       * Null when absent; "" entries fall through to the encoding chain.
@@ -428,9 +434,12 @@ object Fonts {
     // never the glyph text. An EMBEDDED CMap carries its own code→CID,
     // so /W stays live through FontInfo.widthKey.
     val cidKeyed = cidMap != null && cidMap.hasCids
+    val vertical = encName.endsWith("-V") ||
+      (cidMap != null && cidMap.useCMap.endsWith("-V"))
     FontInfo(resName, "Type0", 2, toUni, null, Map.empty,
       if ((utf16 || byteCMap.nonEmpty) && !cidKeyed) Map.empty else widths, dw,
       isType0 = true, identityCid = identity, utf16Codes = utf16,
-      cidMap = cidMap, byteCharset = byteCMap.map(_.charset).orNull)
+      cidMap = cidMap, byteCharset = byteCMap.map(_.charset).orNull,
+      vertical = vertical)
   }
 }

@@ -385,6 +385,26 @@ class FontsSpec extends AnyFunSuite {
     assert(r.text == "zy α漢", r.text)
   }
 
+  test("vertical CMap: columns break right-to-left, down-gaps read as spaces") {
+    val inflater = new java.util.zip.Inflater()
+    val font = "<< /Type /Font /Subtype /Type0 /BaseFont /STSong-Light " +
+      "/Encoding /UniGB-UCS2-V /DescendantFonts [6 0 R] >>"
+    // three columns at x = 72, 57.6 (-LineDy -> \n), 28.8 (-ParaDy -> \n\n)
+    val show = "<00410042> Tj 1 0 0 1 57.6 720 Tm <00430044> Tj " +
+      "1 0 0 1 28.8 720 Tm <00450046> Tj"
+    val r = PdfExtractor.extract(miniPdf(font, show), inflater)
+    assert(r.text == "AB\nCD\n\nEF", r.text)
+    // same column, a down-move past the pending 2-em advance -> space
+    // (pen after 2 glyphs at y = 720 - 24 = 696; next Tm at 684 = 1 em gap)
+    val show2 = "<00410042> Tj 1 0 0 1 72 684 Tm <00430044> Tj"
+    val r2 = PdfExtractor.extract(miniPdf(font, show2), inflater)
+    assert(r2.text == "AB CD", r2.text)
+    // and a small down-move within the kern band stays seamless
+    val show3 = "<00410042> Tj 1 0 0 1 72 695 Tm <00430044> Tj"
+    val r3 = PdfExtractor.extract(miniPdf(font, show3), inflater)
+    assert(r3.text == "ABCD", r3.text)
+  }
+
   test("embedded CMap /W widths are CID-keyed through code->cid") {
     val cm = CidCMap.parse(
       """1 begincodespacerange <00> <FF> endcodespacerange
