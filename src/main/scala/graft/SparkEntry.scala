@@ -237,6 +237,9 @@ object SparkEntry {
     // segmentation — the corpus is denormalized in-query so the oracle
     // proves real recombination (VERDICT r3 "next" #7)
     "q16_normalize" -> ((s, dir) => TextAnalysis.normalize(docs(s, dir)).limit(2000)),
+    // rule-based sentence segmentation, terminator runs planted
+    // in-query (fixture text carries none) — r4
+    "q17_sentences" -> ((s, dir) => TextAnalysis.sentences(docs(s, dir)).limit(2000)),
 
     // ---- dedup / similarity / fingerprint (Spark-only oracles) ----
     "d1_exact_dedup_groups" -> ((s, dir) => Dedup.exact(docsWithDups(s, dir))),
@@ -493,6 +496,19 @@ object SparkEntry {
           s"CAST(length($decomp) - length(nfc_normalize($decomp)) AS BIGINT) AS recombined, " +
           s"CAST(length($seeded) - length($cjkGone) AS BIGINT) AS cjk_chars, " +
           s"CAST(length($seeded) - length($cjkGone) + $spacedToks AS BIGINT) AS seg_tokens " +
+          "FROM documents ORDER BY doc_id LIMIT 2000"
+      },
+      "q17_sentences" -> {
+        // mirror TextAnalysis.sentences (terminator runs planted on
+        // 'spark'; whitespace-token count = spaces + 1 on non-empty)
+        val seeded = "replace(text, 'spark', 'spark.')"
+        val runs = s"len(regexp_extract_all($seeded, '[.!?]+'))"
+        val nSent = s"greatest($runs, CASE WHEN length(trim($seeded)) > 0 THEN 1 ELSE 0 END)"
+        val toks = s"CASE WHEN length($seeded) = 0 THEN 0 ELSE " +
+          s"(length($seeded) - length(replace($seeded, ' ', ''))) + 1 END"
+        s"SELECT doc_id, CAST($runs AS BIGINT) AS term_runs, " +
+          s"CAST($nSent AS BIGINT) AS n_sentences, " +
+          s"ROUND(CASE WHEN $nSent > 0 THEN CAST($toks AS DOUBLE) / $nSent ELSE 0.0 END, 4) AS mean_sentence_tokens " +
           "FROM documents ORDER BY doc_id LIMIT 2000"
       })
   }

@@ -104,6 +104,26 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Sentence segmentation stats (q17, r4 — SURVEY §7.2 r5 #5): rule
+    * -based terminator-run counting, portable across engines (both RE2
+    * and Java regex agree on this class), so the DuckDB oracle holds.
+    * The fixture text carries no sentence punctuation, so terminators
+    * are planted in-query (mirrored literally in the oracle SQL).
+    */
+  def sentences(docs: DataFrame): DataFrame = {
+    val seeded = replace(col("text"), lit("spark"), lit("spark."))
+    val runs = size(regexp_extract_all(seeded, lit("[.!?]+"), lit(0)))
+    val nSent = greatest(runs, when(length(trim(seeded)) > 0, 1).otherwise(0))
+    val toks = tokenCount(seeded).cast("double")
+    docs.select(
+      col("doc_id"),
+      runs.cast("long").as("term_runs"),
+      nSent.cast("long").as("n_sentences"),
+      round(when(nSent > 0, toks / nSent.cast("double")).otherwise(0.0), 4)
+        .as("mean_sentence_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprint: min/max xxhash64 over word 5-gram rolling
     * windows (winnowing-lite). Spark-only (no portable SQL xxhash64).
     */
