@@ -85,7 +85,7 @@ object CorpusGen {
     // cmap/post program (11, r4).
     val fontKind =
       if (lang == "zh") Vector(3, 6, 9, 12)((i / 2) % 4) // 12 = vertical (r4)
-      else Vector(0, 1, 2, 3, 4, 5, 6, 7, 8, 10, 11)(i % 11)
+      else Vector(0, 1, 2, 3, 4, 5, 6, 7, 8, 10, 11, 13)(i % 12)
     PdfBuilder.Spec(
       xrefKind = i % 5,
       filterKind = (i / 5) % 7,

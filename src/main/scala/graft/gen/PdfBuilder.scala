@@ -28,7 +28,7 @@ object PdfBuilder {
       filterKind: Int, // 0 none | 1 flate | 2 ahx | 3 a85 | 4 a85+flate chain | 5 rle | 6 lzw
       showKind: Int, // 0 Tj | 1 TJ kerning | 2 '/" forms
       posKind: Int, // 0 Td | 1 Tm | 2 T*+TL
-      fontKind: Int, // 0 WinAnsi | 1 Differences | 2 ToUnicode bfchar | 3 Type0 Identity-H | 4 MacRoman | 5 Type3 | 6 Type0 UniGB-UCS2-H (UTF-16BE codes, NO ToUnicode) | 7 Symbol (built-in encoding, no /Widths) | 8 Type0 EMBEDDED CMap /Encoding stream (mixed 1/2-byte codespace) + ToUnicode | 9 Type0 GBK-EUC-H (byte-oriented predefined CMap, GBK bytes, NO ToUnicode) | 10 ZapfDingbats (built-in encoding, no /Widths, per-glyph AFM) | 11 symbolic EMBEDDED TrueType (FontFile2 sfnt: (3,0) cmap at 0xF000+code + post 2.0 uniXXXX names; NO /Encoding, NO ToUnicode) | 12 Type0 UniGB-UCS2-V VERTICAL (UTF-16BE codes; columns right-to-left, glyphs advance down)
+      fontKind: Int, // 0 WinAnsi | 1 Differences | 2 ToUnicode bfchar | 3 Type0 Identity-H | 4 MacRoman | 5 Type3 | 6 Type0 UniGB-UCS2-H (UTF-16BE codes, NO ToUnicode) | 7 Symbol (built-in encoding, no /Widths) | 8 Type0 EMBEDDED CMap /Encoding stream (mixed 1/2-byte codespace) + ToUnicode | 9 Type0 GBK-EUC-H (byte-oriented predefined CMap, GBK bytes, NO ToUnicode) | 10 ZapfDingbats (built-in encoding, no /Widths, per-glyph AFM) | 11 symbolic EMBEDDED TrueType (FontFile2 sfnt: (3,0) cmap at 0xF000+code + post 2.0 uniXXXX names; NO /Encoding, NO ToUnicode) | 12 Type0 UniGB-UCS2-V VERTICAL (UTF-16BE codes; columns right-to-left, glyphs advance down) | 13 symbolic EMBEDDED Type1 (FontFile cleartext dup-put /Encoding with uniXXXX names; NO /Encoding dict entry)
       nPages: Int, // 1 | 3 (intermediate /Pages node when 3)
       formXObject: Boolean,
       inlineImage: Boolean,
@@ -547,7 +547,7 @@ object PdfBuilder {
       case 5 => ch.toInt // Type3: ASCII via /Differences glyph names
       case 7 => symbolRev.getOrElse(ch.toInt, '?'.toInt) // Symbol built-in
       case 10 => dingbatsRev.getOrElse(ch.toInt, 0x20) // Dingbats built-in
-      case 11 => symCode(ch) // symbolic TTF: arbitrary code assignment
+      case 11 | 13 => symCode(ch) // symbolic TTF/Type1: arbitrary codes
       case _ => winAnsiRev.getOrElse(ch.toInt, '?'.toInt)
     }
 
@@ -813,6 +813,14 @@ object PdfBuilder {
         val descNum = asm.alloc(); descNumA = descNum
         s"<< /Type /Font /Subtype /Type0 /BaseFont /STSong-Light /Encoding /UniGB-UCS2-V " +
           s"/DescendantFonts [$descNum 0 R] >>"
+      case 13 =>
+        // symbolic EMBEDDED Type1: the built-in encoding lives ONLY in
+        // the /FontFile cleartext (dup code /name put)
+        val descNum = asm.alloc(); descNumA = descNum
+        val ffNum = asm.alloc(); procNumA = ffNum
+        val widths = (0x20 to 0x7E).map(_ => 500).mkString(" ")
+        s"<< /Type /Font /Subtype /Type1 /BaseFont /SynthT1 " +
+          s"/FirstChar 32 /LastChar 126 /Widths [$widths] /FontDescriptor $descNum 0 R >>"
       case _ => "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     }
 
@@ -963,6 +971,33 @@ object PdfBuilder {
         "<< /Type /FontDescriptor /FontName /SynthSym /Flags 4 /ItalicAngle 0 " +
           "/Ascent 800 /Descent -200 /CapHeight 700 /StemV 80 " +
           s"/FontBBox [0 -200 1000 800] /FontFile2 $ffNum 0 R >>",
+        packable = true)
+    } else if (spec.fontKind == 13) {
+      val descNum = descNumA
+      val ffNum = procNumA
+      // Type1 cleartext: standard program shape, encoding as dup-puts
+      // with uniXXXX names; a fake eexec section keeps the /Length1-3
+      // accounting spec-shaped (charstrings are never needed for text)
+      val encLines = enc.symOf.toSeq.map { case (ch, code) =>
+        f"dup $code%d /uni${ch.toInt}%04X put"
+      }.mkString("\n")
+      val clear = "%!PS-AdobeFont-1.0: SynthT1\n" +
+        "/FontName /SynthT1 def\n/PaintType 0 def\n/FontType 1 def\n" +
+        "/FontMatrix [0.001 0 0 0.001 0 0] readonly def\n" +
+        "/Encoding 256 array\n0 1 255 {1 index exch /.notdef put} for\n" +
+        s"$encLines\nreadonly def\ncurrentdict end\ncurrentfile eexec\n"
+      val fakeEnc = "0123456789abcdef" * 32 + "\n"
+      val zeros = ("0" * 64 + "\n") * 8 + "cleartomark\n"
+      val prog = clear + fakeEnc + zeros
+      val ff = asm.enc(ffNum, latin1(prog))
+      asm.addAt(ffNum,
+        s"<< /Length1 ${clear.length} /Length2 ${fakeEnc.length} /Length3 ${zeros.length} " +
+          s"/Length ${ff.length} >>\nstream\n" +
+          new String(ff, "ISO-8859-1") + "\nendstream")
+      asm.addAt(descNum,
+        "<< /Type /FontDescriptor /FontName /SynthT1 /Flags 4 /ItalicAngle 0 " +
+          "/Ascent 800 /Descent -200 /CapHeight 700 /StemV 80 " +
+          s"/FontBBox [0 -200 1000 800] /FontFile $ffNum 0 R >>",
         packable = true)
     } else if (spec.fontKind == 5) {
       // inert Type3 glyph procedure shared by every /CharProcs entry

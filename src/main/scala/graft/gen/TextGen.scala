@@ -81,7 +81,7 @@ object TextGen {
       case 8 => base ++ embedWords // embedded CMap: BMP chars via 2-byte codes
       case 9 => (base ++ langWords.getOrElse(lang, Vector.empty)).filter(gbkClean)
       case 10 => dingbatWords // ZapfDingbats encodes ONLY its ornament set
-      case 11 => base ++ greekWords // symbolic TTF: arbitrary chars, arbitrary codes
+      case 11 | 13 => base ++ greekWords // symbolic TTF/Type1: arbitrary chars+codes
       case 12 => base ++ langWords.getOrElse(lang, Vector.empty) ++ cidWords // vertical UCS2: same as 6
       case _ => base
     }

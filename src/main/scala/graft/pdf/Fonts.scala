@@ -304,28 +304,39 @@ object Fonts {
         case None => Map.empty
       }
 
-    // symbolic-TrueType recovery (SURVEY §7.2 r5 #1, pulled into r4):
-    // a TrueType font with NO /Encoding uses its built-in mapping
-    // (§9.6.6.4) — i.e. the embedded font program's (3,0) symbol cmap.
-    // Chain code → GID → Unicode via `post` names / inverse Unicode
-    // cmap; unmapped codes fall through to the encoding-table chain.
+    // symbolic embedded-font recovery (SURVEY §7.2 r5 #1, pulled into
+    // r4): a font with NO /Encoding uses its built-in mapping
+    // (§9.6.6.4), which for subset fonts lives only in the embedded
+    // program. TrueType: sfnt (3,0) cmap code→GID, then post names /
+    // inverse Unicode cmap. Type1: the cleartext `dup code /name put`
+    // encoding array (Type1Enc). Unmapped codes fall through to the
+    // encoding-table chain.
     val sfntMap: Array[String] =
-      if (fontDict.get("Encoding").isDefined || isSymbol || isDingbats ||
-        (subtype != "TrueType" && subtype != "Type0")) null
+      if (fontDict.get("Encoding").isDefined || isSymbol || isDingbats) null
       else {
         val fd = doc.dictOf(fontDict.get("FontDescriptor").getOrElse(PNull))
-        fd.get("FontFile2").orElse(fd.get("FontFile3")).map(doc.resolve) match {
-          case Some(s: PStream) =>
+        def streamOf(key: String): Option[PStream] =
+          fd.get(key).map(doc.resolve).collect { case s: PStream => s }
+        val viaSfnt: Option[Array[String]] =
+          if (subtype != "TrueType") None
+          else streamOf("FontFile2").orElse(streamOf("FontFile3")).flatMap { s =>
             val maps =
               try Sfnt.parse(doc.decodeStream(s))
               catch { case _: Exception => Sfnt.empty }
-            if (!maps.usable) null
-            else {
-              val t = Array.tabulate(256)(maps.symbolCodeToUnicode)
-              if (t.exists(_.nonEmpty)) t else null
-            }
-          case _ => null
-        }
+            if (!maps.usable) None
+            else Some(Array.tabulate(256)(maps.symbolCodeToUnicode))
+          }
+        val viaType1: Option[Array[String]] =
+          if (viaSfnt.isDefined || subtype == "TrueType") None
+          else streamOf("FontFile").flatMap { s =>
+            val names =
+              try Type1Enc.parse(doc.decodeStream(s))
+              catch { case _: Exception => Map.empty[Int, String] }
+            if (names.isEmpty) None
+            else Some(Array.tabulate(256)(c =>
+              names.get(c).flatMap(Glyphs.glyphToUnicode).getOrElse("")))
+          }
+        viaSfnt.orElse(viaType1).filter(_.exists(_.nonEmpty)).orNull
       }
 
     FontInfo(resName, subtype, 1, toUni, encTable, diffs, effWidths, missing,

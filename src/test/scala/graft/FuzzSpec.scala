@@ -38,6 +38,28 @@ class FuzzSpec extends AnyFunSuite {
     assert(nOk + nErr == 1500)
   }
 
+  test("Sfnt and CidCMap parsers survive random and mutated inputs (r4)") {
+    val rng = new scala.util.Random(20260817L)
+    val validTtf = graft.gen.TtfBuilder.build(
+      Seq(0x20 -> ' '.toInt, 0x41 -> 'a'.toInt, 0x42 -> 0x6F22))
+    val validCMap = ("%!PS-Adobe-3.0 Resource-CMap\n/GBK-EUC-H usecmap\n" +
+      "2 begincodespacerange <20> <7E> <8140> <FEFE> endcodespacerange\n" +
+      "1 begincidrange <20> <7E> 32 endcidrange\n" +
+      "1 begincidchar <8140> 4096 endcidchar\nendcmap").getBytes("ISO-8859-1")
+    (0 until 800).foreach { i =>
+      val input =
+        if (i % 3 == 0) Array.fill(rng.nextInt(400))(rng.nextInt(256).toByte)
+        else mutate(if (i % 3 == 1) validTtf else validCMap, rng)
+      val t0 = System.nanoTime()
+      // Sfnt.parse catches internally; CidCMap.parse may throw (its
+      // caller wraps) — neither may hang, loop, nor blow the stack
+      Sfnt2.parse(input)
+      try graft.pdf.CidCMap.parse(input) catch { case _: Exception => () }
+      assert((System.nanoTime() - t0) / 1000000 < 2000, s"fuzz case $i slow")
+    }
+  }
+  private val Sfnt2 = graft.pdf.Sfnt
+
   private def mutate(bytes: Array[Byte], rng: scala.util.Random): Array[Byte] = {
     val mode = rng.nextInt(4)
     mode match {

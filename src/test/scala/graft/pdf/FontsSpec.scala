@@ -405,6 +405,23 @@ class FontsSpec extends AnyFunSuite {
     assert(r3.text == "ABCD", r3.text)
   }
 
+  test("symbolic embedded Type1: cleartext dup-put encoding recovers text") {
+    val inflater = new java.util.zip.Inflater()
+    val prog = "%!PS-AdobeFont-1.0: T\n/FontName /T def\n" +
+      "/Encoding 256 array\n0 1 255 {1 index exch /.notdef put} for\n" +
+      "dup 65 /uni03B1 put\ndup 66 /beta put\ndup 32 /uni0020 put\n" +
+      "readonly def\ncurrentdict end\ncurrentfile eexec\nDEADBEEF\n" +
+      "0000000000000000\ncleartomark\n"
+    assert(Type1Enc.parse(prog.getBytes("ISO-8859-1")) ==
+      Map(65 -> "uni03B1", 66 -> "beta", 32 -> "uni0020"))
+    val font = "<< /Type /Font /Subtype /Type1 /BaseFont /T /FontDescriptor 7 0 R >>"
+    val desc = "<< /Type /FontDescriptor /FontName /T /Flags 4 /FontFile 8 0 R >>"
+    val ff = s"<< /Length ${prog.length} /Length1 ${prog.length} >>\nstream\n$prog\nendstream"
+    val r = PdfExtractor.extract(
+      miniPdf(font, "(AB BA) Tj", extraObjs = Seq(7 -> desc, 8 -> ff)), inflater)
+    assert(r.text == "αβ βα", r.text)
+  }
+
   test("embedded CMap /W widths are CID-keyed through code->cid") {
     val cm = CidCMap.parse(
       """1 begincodespacerange <00> <FF> endcodespacerange
