@@ -268,6 +268,18 @@ object SparkEntry {
     // SQL slices identically.
     "d6_minhash_portable" -> ((s, dir) =>
       Dedup.minhashPairsPortable(docsWithDups(s, dir).filter(col("doc_id") % 4 === 0))),
+    // band-bucket skew-cap observability (r5): what the d2/d3/d6
+    // `maxBandBucket` guard would drop, per band — md5 banding is
+    // SQL-expressible, so the cap's own accounting is DuckDB-oracled.
+    // cap=2 here so the planted dup families (seed+near+exact share
+    // band sigs) register as droppable — proving nonzero counts flow.
+    "d7_band_bucket_stats" -> ((s, dir) =>
+      Dedup.minhashBandStatsPortable(
+        docsWithDups(s, dir).filter(col("doc_id") % 4 === 0), maxBandBucket = 2)),
+    // same accounting for the production xxhash64 pipeline (d2's
+    // actual guard; xxhash64 is not ANSI-expressible → rows-only)
+    "d8_band_bucket_stats_prod" -> ((s, dir) =>
+      Dedup.minhashBandStats(docsWithDups(s, dir))),
     "s1_ann_brute" -> ((s, dir) => {
       val emb = embeddings(s, dir)
       val q = emb.orderBy("vec_id").limit(5)
@@ -340,6 +352,28 @@ object SparkEntry {
         "docs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents " +
         "UNION ALL SELECT doc_id + 10000000, text || ' tailword' FROM seeded " +
         "UNION ALL SELECT doc_id + 20000000, text FROM seeded)")
+    // portable-minhash banding CTE chain (shared by d6 + d7): docs →
+    // deterministic 1/4 slice → shingles → md5-minhash sigs → band table
+    val portableBandCtes: String = {
+      val nH = 16
+      def h60(e: String, seed: Int) =
+        s"CAST(('0x' || substr(md5($e || ':$seed'),1,15)) AS BIGINT)"
+      val minAggs = (0 until nH)
+        .map(h => s"MIN(${h60("sh", h)}) AS mh_$h").mkString(", ")
+      val bandSelects = (0 until 4).map { b =>
+        val catted = (0 until 4).map(r => s"CAST(mh_${b * 4 + r} AS VARCHAR)")
+          .mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band, md5($catted) AS sig FROM sigs"
+      }.mkString(" UNION ALL ")
+      // same deterministic 1/4 slice as the Spark side (bench cost)
+      ("sliced AS (SELECT * FROM docs WHERE doc_id % 4 = 0), " +
+        "shing AS (SELECT doc_id, unnest(list_distinct([substr(text, i, 5) " +
+        "for i in range(1, greatest(length(text)-4, 1) + 1)])) AS sh FROM sliced), " +
+        s"sigs AS (SELECT doc_id, $minAggs FROM shing GROUP BY doc_id), " +
+        s"bands AS ($bandSelects)")
+    }
+    val portableMatches: String =
+      (0 until 16).map(h => s"CAST(sa.mh_$h = sb.mh_$h AS INT)").mkString(" + ")
 
     Map(
       "q1_agg_pushdown" ->
@@ -447,31 +481,23 @@ object SparkEntry {
           "FROM pairs JOIN grams ga ON doc_a = ga.doc_id " +
           "JOIN grams gb ON doc_b = gb.doc_id ORDER BY doc_a, doc_b"),
       "d6_minhash_portable" -> {
-        val nH = 16
-        def h60(e: String, seed: Int) =
-          s"CAST(('0x' || substr(md5($e || ':$seed'),1,15)) AS BIGINT)"
-        val minAggs = (0 until nH).map(h => s"${h60("sh", h)}").zipWithIndex
-          .map { case (e, h) => s"MIN($e) AS mh_$h" }.mkString(", ")
-        val bandSelects = (0 until 4).map { b =>
-          val catted = (0 until 4).map(r => s"CAST(mh_${b * 4 + r} AS VARCHAR)")
-            .mkString(" || '|' || ")
-          s"SELECT doc_id, $b AS band, md5($catted) AS sig FROM sigs"
-        }.mkString(" UNION ALL ")
-        val matches = (0 until nH).map(h => s"CAST(sa.mh_$h = sb.mh_$h AS INT)")
-          .mkString(" + ")
-        (s"$dupDocs, " +
-          // same deterministic 1/4 slice as the Spark side (bench cost)
-          "sliced AS (SELECT * FROM docs WHERE doc_id % 4 = 0), " +
-          "shing AS (SELECT doc_id, unnest(list_distinct([substr(text, i, 5) " +
-          "for i in range(1, greatest(length(text)-4, 1) + 1)])) AS sh FROM sliced), " +
-          s"sigs AS (SELECT doc_id, $minAggs FROM shing GROUP BY doc_id), " +
-          s"bands AS ($bandSelects), " +
+        (s"$dupDocs, $portableBandCtes, " +
           "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
           "FROM bands a JOIN bands b USING (band, sig) WHERE a.doc_id < b.doc_id), " +
-          s"est AS (SELECT doc_a, doc_b, ($matches) / 16.0 AS ej FROM pairs " +
+          s"est AS (SELECT doc_a, doc_b, ($portableMatches) / 16.0 AS ej FROM pairs " +
           "JOIN sigs sa ON doc_a = sa.doc_id JOIN sigs sb ON doc_b = sb.doc_id) " +
           "SELECT doc_a, doc_b, ROUND(ej, 6) AS est_jaccard FROM est " +
           "WHERE ej >= 0.5 ORDER BY doc_a, doc_b")
+      },
+      // cap observability over the same band table (cap = 2, so planted
+      // dup families show as droppable)
+      "d7_band_bucket_stats" -> {
+        (s"$dupDocs, $portableBandCtes, " +
+          "bsz AS (SELECT band, sig, COUNT(*) AS n FROM bands GROUP BY band, sig) " +
+          "SELECT band, COUNT(*) AS n_buckets, CAST(MAX(n) AS BIGINT) AS max_bucket, " +
+          "CAST(SUM(CASE WHEN n > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_buckets, " +
+          "CAST(SUM(CASE WHEN n > 2 THEN n ELSE 0 END) AS BIGINT) AS n_dropped_rows " +
+          "FROM bsz GROUP BY band ORDER BY band")
       },
       "q12_langid" ->
         (s"SELECT doc_id, CASE WHEN $zh > 0 THEN 'zh' " +

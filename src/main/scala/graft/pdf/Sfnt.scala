@@ -41,7 +41,8 @@ object Sfnt {
       gid match {
         case Some(g) =>
           gidName.get(g).flatMap(Glyphs.glyphToUnicode)
-            .orElse(gidToUni.get(g).map(cp => new String(Character.toChars(cp))))
+            .orElse(gidToUni.get(g).filter(Character.isValidCodePoint)
+              .map(cp => new String(Character.toChars(cp))))
             .getOrElse("")
         case None => ""
       }

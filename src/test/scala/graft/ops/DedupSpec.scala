@@ -138,4 +138,58 @@ class DedupSpec extends AnyFunSuite {
     assert(g.length == 1)
     assert(g.head.getLong(1) == 2L && g.head.getLong(2) == 5L)
   }
+
+  test("maxBandBucket caps a planted mega-bucket; drops are observable, honest pairs survive") {
+    // a template-page family: 400 docs with one shared body — identical
+    // shingle sets mean identical signatures, so EVERY band bucket is
+    // the whole family (400 rows). Uncapped that is ~80k candidate
+    // pairs per band through one reducer; at crawl scale such families
+    // are the O(m²) LSH killer (VERDICT r4 "wrong" #2). (Docs whose
+    // diffs exceed the shingle width land in smaller, survivable
+    // buckets — the cap only fires on degenerate collisions.)
+    val body = (1 to 80).map(i => s"tmpl$i").mkString(" ")
+    val family = (0 until 400).map(i => (1000L + i) -> body)
+    // plus an honest small near-dup pair far from the family
+    val honest = Seq(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta eta iota")
+    val d = docs((honest ++ family): _*)
+
+    val capped = Dedup.minhashPairs(d, minEstJaccard = 0.0, maxBandBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the honest pair survives; no intra-family pair floods the output
+    assert(capped.contains((1L, 2L)), s"honest pair lost: $capped")
+    assert(!capped.exists { case (a, b) => a >= 1000L && b >= 1000L },
+      "mega-bucket family pairs must be dropped by the cap")
+
+    // the drop is never silent: the stats table accounts for it
+    val stats = Dedup.minhashBandStats(d, maxBandBucket = 100).collect()
+    val dropped = stats.map(_.getLong(3)).sum
+    val droppedRows = stats.map(_.getLong(4)).sum
+    assert(dropped >= 1, "at least one over-cap bucket expected")
+    assert(droppedRows >= 400, s"family rows must be accounted: $droppedRows")
+    // and the family is NOT lost to dedup — d1-style exact/clustering
+    // handles identical-signature families; the cap only bounds the
+    // pairwise path. Same guard on the portable twin:
+    val cappedPortable = Dedup.minhashPairsPortable(
+      d, minEstJaccard = 0.0, maxBandBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cappedPortable.contains((1L, 2L)))
+    assert(!cappedPortable.exists { case (a, b) => a >= 1000L && b >= 1000L })
+  }
+
+  test("simhashPairs maxBandBucket: mega-family dropped, honest near-dup kept") {
+    val body = (1 to 120).map(i => s"tmpl$i").mkString(" ")
+    // identical texts -> identical simhash -> one bucket per band of
+    // size 300 (simhash of exact copies collides on every band)
+    val family = (0 until 300).map(i => (1000L + i) -> body)
+    val honest = Seq(
+      1L -> ((1 to 64).map(i => s"w$i").mkString(" ")),
+      2L -> ((1 to 63).map(i => s"w$i").mkString(" ") + " w999"))
+    val d = docs((honest ++ family): _*)
+    val pairs = Dedup.simhashPairs(d, maxHamming = 6, maxBandBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"honest pair lost: $pairs")
+    assert(!pairs.exists { case (a, b) => a >= 1000L && b >= 1000L })
+  }
 }
