@@ -85,7 +85,7 @@ object CorpusGen {
     // cmap/post program (11, r4).
     val fontKind =
       if (lang == "zh") Vector(3, 6, 9, 12)((i / 2) % 4) // 12 = vertical (r4)
-      else Vector(0, 1, 2, 3, 4, 5, 6, 7, 8, 10, 11, 13)(i % 12)
+      else Vector(0, 1, 2, 3, 4, 5, 6, 7, 8, 10, 11, 13, 14)(i % 13) // 14 = embedded CFF (r5)
     PdfBuilder.Spec(
       xrefKind = i % 5,
       filterKind = (i / 5) % 7,

@@ -28,7 +28,7 @@ object PdfBuilder {
       filterKind: Int, // 0 none | 1 flate | 2 ahx | 3 a85 | 4 a85+flate chain | 5 rle | 6 lzw
       showKind: Int, // 0 Tj | 1 TJ kerning | 2 '/" forms
       posKind: Int, // 0 Td | 1 Tm | 2 T*+TL
-      fontKind: Int, // 0 WinAnsi | 1 Differences | 2 ToUnicode bfchar | 3 Type0 Identity-H | 4 MacRoman | 5 Type3 | 6 Type0 UniGB-UCS2-H (UTF-16BE codes, NO ToUnicode) | 7 Symbol (built-in encoding, no /Widths) | 8 Type0 EMBEDDED CMap /Encoding stream (mixed 1/2-byte codespace) + ToUnicode | 9 Type0 GBK-EUC-H (byte-oriented predefined CMap, GBK bytes, NO ToUnicode) | 10 ZapfDingbats (built-in encoding, no /Widths, per-glyph AFM) | 11 symbolic EMBEDDED TrueType (FontFile2 sfnt: (3,0) cmap at 0xF000+code + post 2.0 uniXXXX names; NO /Encoding, NO ToUnicode) | 12 Type0 UniGB-UCS2-V VERTICAL (UTF-16BE codes; columns right-to-left, glyphs advance down) | 13 symbolic EMBEDDED Type1 (FontFile cleartext dup-put /Encoding with uniXXXX names; NO /Encoding dict entry)
+      fontKind: Int, // 0 WinAnsi | 1 Differences | 2 ToUnicode bfchar | 3 Type0 Identity-H | 4 MacRoman | 5 Type3 | 6 Type0 UniGB-UCS2-H (UTF-16BE codes, NO ToUnicode) | 7 Symbol (built-in encoding, no /Widths) | 8 Type0 EMBEDDED CMap /Encoding stream (mixed 1/2-byte codespace) + ToUnicode | 9 Type0 GBK-EUC-H (byte-oriented predefined CMap, GBK bytes, NO ToUnicode) | 10 ZapfDingbats (built-in encoding, no /Widths, per-glyph AFM) | 11 symbolic EMBEDDED TrueType (FontFile2 sfnt: (3,0) cmap at 0xF000+code + post 2.0 uniXXXX names; NO /Encoding, NO ToUnicode) | 12 Type0 UniGB-UCS2-V VERTICAL (UTF-16BE codes; columns right-to-left, glyphs advance down) | 13 symbolic EMBEDDED Type1 (FontFile cleartext dup-put /Encoding with uniXXXX names; NO /Encoding dict entry) | 14 symbolic EMBEDDED bare CFF (FontFile3 Type1C: charset fmt 0 w/ mixed standard+custom SIDs, custom encoding fmt 0; NO /Encoding, NO /ToUnicode)
       nPages: Int, // 1 | 3 (intermediate /Pages node when 3)
       formXObject: Boolean,
       inlineImage: Boolean,
@@ -547,7 +547,7 @@ object PdfBuilder {
       case 5 => ch.toInt // Type3: ASCII via /Differences glyph names
       case 7 => symbolRev.getOrElse(ch.toInt, '?'.toInt) // Symbol built-in
       case 10 => dingbatsRev.getOrElse(ch.toInt, 0x20) // Dingbats built-in
-      case 11 | 13 => symCode(ch) // symbolic TTF/Type1: arbitrary codes
+      case 11 | 13 | 14 => symCode(ch) // symbolic TTF/Type1/CFF: arbitrary codes
       case _ => winAnsiRev.getOrElse(ch.toInt, '?'.toInt)
     }
 
@@ -821,6 +821,14 @@ object PdfBuilder {
         val widths = (0x20 to 0x7E).map(_ => 500).mkString(" ")
         s"<< /Type /Font /Subtype /Type1 /BaseFont /SynthT1 " +
           s"/FirstChar 32 /LastChar 126 /Widths [$widths] /FontDescriptor $descNum 0 R >>"
+      case 14 =>
+        // symbolic EMBEDDED bare CFF (/FontFile3 Type1C, r5): the
+        // built-in encoding lives ONLY in the CFF charset/encoding
+        val descNum = asm.alloc(); descNumA = descNum
+        val ffNum = asm.alloc(); procNumA = ffNum
+        val widths = (0x20 to 0x7E).map(_ => 500).mkString(" ")
+        s"<< /Type /Font /Subtype /Type1 /BaseFont /SynthCFF " +
+          s"/FirstChar 32 /LastChar 126 /Widths [$widths] /FontDescriptor $descNum 0 R >>"
       case _ => "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     }
 
@@ -998,6 +1006,19 @@ object PdfBuilder {
         "<< /Type /FontDescriptor /FontName /SynthT1 /Flags 4 /ItalicAngle 0 " +
           "/Ascent 800 /Descent -200 /CapHeight 700 /StemV 80 " +
           s"/FontBBox [0 -200 1000 800] /FontFile $ffNum 0 R >>",
+        packable = true)
+    } else if (spec.fontKind == 14) {
+      val descNum = descNumA
+      val ffNum = procNumA
+      val cff = CffBuilder.build(enc.symOf.toSeq.map { case (ch, code) => code -> ch.toInt })
+      val ff = asm.enc(ffNum, flate(cff))
+      asm.addAt(ffNum,
+        s"<< /Subtype /Type1C /Filter /FlateDecode /Length ${ff.length} >>\nstream\n" +
+          new String(ff, "ISO-8859-1") + "\nendstream")
+      asm.addAt(descNum,
+        "<< /Type /FontDescriptor /FontName /SynthCFF /Flags 4 /ItalicAngle 0 " +
+          "/Ascent 800 /Descent -200 /CapHeight 700 /StemV 80 " +
+          s"/FontBBox [0 -200 1000 800] /FontFile3 $ffNum 0 R >>",
         packable = true)
     } else if (spec.fontKind == 5) {
       // inert Type3 glyph procedure shared by every /CharProcs entry

@@ -82,6 +82,7 @@ object TextGen {
       case 9 => (base ++ langWords.getOrElse(lang, Vector.empty)).filter(gbkClean)
       case 10 => dingbatWords // ZapfDingbats encodes ONLY its ornament set
       case 11 | 13 => base ++ greekWords // symbolic TTF/Type1: arbitrary chars+codes
+      case 14 => base ++ greekWords // embedded CFF: std SIDs + uniXXXX custom strings
       case 12 => base ++ langWords.getOrElse(lang, Vector.empty) ++ cidWords // vertical UCS2: same as 6
       case _ => base
     }

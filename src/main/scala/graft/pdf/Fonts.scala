@@ -339,7 +339,19 @@ object Fonts {
             else Some(Array.tabulate(256)(c =>
               names.get(c).flatMap(Glyphs.glyphToUnicode).getOrElse("")))
           }
-        viaSfnt.orElse(viaType1).filter(_.exists(_.nonEmpty)).orNull
+        // bare CFF (/FontFile3 Subtype /Type1C, r5): custom
+        // charset/encoding resolve code → SID name → AGL/uniXXXX
+        val viaCff: Option[Array[String]] =
+          if (viaSfnt.isDefined || viaType1.isDefined || subtype == "TrueType") None
+          else streamOf("FontFile3").flatMap { s =>
+            try {
+              val names = Cff.parse(doc.decodeStream(s))
+              if (names.isEmpty) None
+              else Some(Array.tabulate(256)(c =>
+                names.get(c).flatMap(Glyphs.glyphToUnicode).getOrElse("")))
+            } catch { case _: Exception => None }
+          }
+        viaSfnt.orElse(viaType1).orElse(viaCff).filter(_.exists(_.nonEmpty)).orNull
       }
 
     FontInfo(resName, subtype, 1, toUni, encTable, diffs, effWidths, missing,

@@ -422,6 +422,52 @@ class FontsSpec extends AnyFunSuite {
     assert(r.text == "αβ βα", r.text)
   }
 
+  test("embedded bare CFF: charset/encoding chain recovers text (std + custom SIDs)") {
+    val inflater = new java.util.zip.Inflater()
+    // codes deliberately NOT the chars' ASCII values; 'z'/'y' resolve
+    // through STANDARD SIDs, α/漢 through custom uniXXXX strings
+    val assign = Seq(0x20 -> ' '.toInt, 0x41 -> 'z'.toInt, 0x42 -> 'y'.toInt,
+      0x43 -> 0x03B1, 0x44 -> 0x6F22)
+    val cff = graft.gen.CffBuilder.build(assign)
+    val names = Cff.parse(cff)
+    assert(names(0x41) == "z" && names(0x42) == "y")
+    assert(names(0x43) == "uni03B1" && names(0x44) == "uni6F22")
+    assert(names(0x20) == "space")
+    assert(!names.contains(0x45))
+    val cffHex = cff.map(b => f"${b & 0xff}%02X").mkString
+    val font = "<< /Type /Font /Subtype /Type1 /BaseFont /SynthCFF " +
+      "/FirstChar 32 /LastChar 126 /FontDescriptor 7 0 R >>"
+    val desc = "<< /Type /FontDescriptor /FontName /SynthCFF /Flags 4 /FontFile3 8 0 R >>"
+    val ff = s"<< /Subtype /Type1C /Filter /ASCIIHexDecode /Length ${cffHex.length + 1} >>\nstream\n$cffHex>\nendstream"
+    val r = PdfExtractor.extract(
+      miniPdf(font, "(AB CD) Tj", extraObjs = Seq(7 -> desc, 8 -> ff)), inflater)
+    assert(r.text == "zy α漢", r.text)
+  }
+
+  test("CFF parser degrades on malformed/predefined-encoding/CID-keyed input") {
+    // truncated garbage: empty map, no throw
+    assert(Cff.parse(Array[Byte](1, 0, 4)).isEmpty)
+    assert(Cff.parse("not a cff at all".getBytes("ISO-8859-1")).isEmpty)
+    // predefined encoding (offset 0) must yield no custom map: build a
+    // real CFF then zero its Encoding op value (fixed-width op 29 int
+    // keeps the layout intact)
+    val cff = graft.gen.CffBuilder.build(Seq(0x41 -> 'a'.toInt))
+    val patched = cff.clone()
+    // Top DICT: header(4) + name INDEX + index header; find the 0x1d
+    // op whose operator byte is 16 (Encoding) and zero its operand
+    var i = 0
+    var found = false
+    while (i + 5 < patched.length && !found) {
+      if ((patched(i) & 0xff) == 29 && (patched(i + 5) & 0xff) == 16) {
+        patched(i + 1) = 0; patched(i + 2) = 0; patched(i + 3) = 0; patched(i + 4) = 0
+        found = true
+      }
+      i += 1
+    }
+    assert(found)
+    assert(Cff.parse(patched).isEmpty)
+  }
+
   test("embedded CMap /W widths are CID-keyed through code->cid") {
     val cm = CidCMap.parse(
       """1 begincodespacerange <00> <FF> endcodespacerange
