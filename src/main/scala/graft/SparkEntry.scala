@@ -449,7 +449,7 @@ object SparkEntry {
           "('err://cjk-cmap', 'pdf', 'ok'), " + // r4: GBK bytes decode via JDK charset
           "('err://cmap-embedded', 'pdf', 'ok'), " + // r4: usecmap GBK base decodes
           "('err://cmap-embedded-identity', 'error', 'unsupported-cmap:embedded'), " +
-          "('err://cmap-gb18030', 'error', 'unsupported-cmap:GBK2K-H'), " +
+          "('err://cmap-gb18030', 'pdf', 'ok'), " + // r5: 4-byte GB18030 codespace decodes
           "('err://image-only', 'error', 'no-text-layer'), " + // r4: scanned-PDF class
 
           "('err://ok-cjk-ucs2', 'pdf', 'ok'), " +

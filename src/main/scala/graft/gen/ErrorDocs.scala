@@ -55,12 +55,17 @@ object ErrorDocs {
   private val cjkUcs2 =
     "<< /Type /Font /Subtype /Type0 /BaseFont /STSong-Light " +
       "/Encoding /UniGB-UCS2-H /DescendantFonts [6 0 R] >>"
-  /** GB18030's GBK2K family carries 4-byte codes we deliberately don't
-    * map — the remaining byte-oriented typed-degradation case.
+  /** GB18030 (GBK2K family): r5 DECODES, including the 4-byte
+    * codespace <81308130> <FE39FE39> — the show below mixes a 2-byte
+    * GBK code with a genuine 4-byte one.
     */
   private val cjkGb18030 =
     "<< /Type /Font /Subtype /Type0 /BaseFont /STSong-Light " +
       "/Encoding /GBK2K-H /DescendantFonts [6 0 R] >>"
+  private val gb18030Show = {
+    val hex4 = "☃".getBytes("GB18030").map(b => f"${b & 0xff}%02X").mkString
+    s"<BABA$hex4> Tj" // U+6C49 (2-byte) + U+2603 (4-byte)
+  }
 
   private def cmapObj(body: String): String =
     s"<< /Length ${body.length} >>\nstream\n$body\nendstream"
@@ -103,7 +108,7 @@ object ErrorDocs {
     ("err://encrypted-unsupported",
       pdf(helvetica, trailerExtra = " /Encrypt 7 0 R", extraObjs = Seq(7 -> encUnsupported))),
     ("err://cjk-cmap", pdf(cjkNoToUnicode)),
-    ("err://cmap-gb18030", pdf(cjkGb18030)),
+    ("err://cmap-gb18030", pdf(cjkGb18030, show = gb18030Show)),
     ("err://cmap-embedded",
       pdf(embeddedCMapFont, extraObjs = Seq(7 -> embeddedCMapStream))),
     ("err://cmap-embedded-identity",

@@ -87,7 +87,10 @@ final case class FontInfo(
           // bytes ARE national-charset text; stateless CJK charsets
           // decode per-code identically to whole-string decode
           val b =
-            if (code > 0xFF) Array[Byte](((code >> 8) & 0xff).toByte, (code & 0xff).toByte)
+            if ((code >>> 16) != 0) // 4-byte GB18030 code (top bit may be set: compare unsigned)
+              Array[Byte]((code >>> 24).toByte, ((code >> 16) & 0xff).toByte,
+                ((code >> 8) & 0xff).toByte, (code & 0xff).toByte)
+            else if (code > 0xFF) Array[Byte](((code >> 8) & 0xff).toByte, (code & 0xff).toByte)
             else Array[Byte]((code & 0xff).toByte)
           val s = new String(b, byteCharset)
           if (s.indexOf('�') >= 0) "" else s

