@@ -109,7 +109,12 @@ object CorpusGen {
       // window without inflating the overall share the way the initial
       // r4 ungate did (25% measurably dragged the 16-core leg at the
       // box's decrypt-bandwidth knee).
-      encryptKind = if (i % 7 == 1) 1 + ((i / 7) % 4) else 0)
+      encryptKind = if (i % 7 == 1) 1 + ((i / 7) % 4) else 0,
+      // render-mode-3 axis (r5): ~1/11 of PDFs carry an invisible
+      // (OCR-overlay-style) last line, span-tagged pdf-text-hidden.
+      // 11 is coprime to the fontKind cycle (13), zh (8), encrypt (7),
+      // xref (5) and splitShow (2) gates.
+      hiddenLine = i % 11 == 5)
   }
 
   /** WET-style flattened text: expected text with newlines as spaces —

@@ -46,7 +46,13 @@ object PdfBuilder {
         * (ISO 32000-2). Applies to EVERY font kind since r4 — Type0
         * CIDSystemInfo strings encrypt per §7.6.2 via FileAsm.str.
         */
-      encryptKind: Int = 0)
+      encryptKind: Int = 0,
+      /** Render-mode-3 axis (r5): the page's LAST line is shown with
+        * `3 Tr` (invisible — the scanned-PDF OCR-overlay class). Text
+        * bytes are unchanged; the line's span kind becomes
+        * `pdf-text-hidden`.
+        */
+      hiddenLine: Boolean = false)
 
   private val FS = 12.0 // font size
   private val LineDy = 14.4 // 1.2 em -> single \n (App. A: 0.5 < 1.2 < 1.8)
@@ -834,12 +840,14 @@ object PdfBuilder {
 
     // --- render pages
     val pageTexts = ArrayBuffer.empty[String]
+    val pageHidden = ArrayBuffer.empty[Option[(Int, Int)]] // Tr-3 range per page (r5)
     val contentNums = ArrayBuffer.empty[Int]
     val formNums = ArrayBuffer.empty[(String, Int)] // resource name -> obj
 
     pageParas.zipWithIndex.foreach { case (paras, pIdx) =>
-      val (content, expected, forms) = renderPage(spec, paras, enc, rng, pIdx)
+      val (content, expected, forms, hidRange) = renderPage(spec, paras, enc, rng, pIdx)
       pageTexts += expected
+      pageHidden += hidRange
       forms.foreach { case (rn, body) =>
         val (fc, data) = encodeStream(latin1(body), 1) // forms always Flate
         val n = asm.addStream(s"/Subtype /Form /Type /XObject /BBox [0 0 612 792] $fc", data)
@@ -1039,7 +1047,16 @@ object PdfBuilder {
         if (emitted > 0) sb.append("\n\n")
         val start = sb.length
         sb.append(t)
-        spans += Span(start, sb.length, p, "pdf-text")
+        pageHidden(p) match {
+          // Tr-3 line: page span partitions around the hidden range
+          // (separator chars stay "pdf-text", mirroring the extractor)
+          case Some((hs, he)) if he > hs =>
+            if (hs > 0) spans += Span(start, start + hs, p, "pdf-text")
+            spans += Span(start + hs, start + he, p, "pdf-text-hidden")
+            if (he < t.length) spans += Span(start + he, start + t.length, p, "pdf-text")
+          case _ =>
+            spans += Span(start, sb.length, p, "pdf-text")
+        }
         emitted += 1
       }
     }
@@ -1057,10 +1074,18 @@ object PdfBuilder {
     */
   private def renderPage(spec: Spec, paras: PageParas,
                          enc: FontEnc, rng: Random,
-                         pIdx: Int): (String, String, Vector[(String, String)]) = {
+                         pIdx: Int): (String, String, Vector[(String, String)], Option[(Int, Int)]) = {
     val ops = new StringBuilder
     val exp = new java.lang.StringBuilder
     val forms = Vector.newBuilder[(String, String)]
+
+    // render-mode-3 axis: (paraIdx, lineIdx) of the page's last line
+    val hiddenPos: Option[(Int, Int)] =
+      if (!spec.hiddenLine) None
+      else paras.zipWithIndex.reverse.collectFirst {
+        case (ls, pi) if ls.nonEmpty => (pi, ls.size - 1)
+      }
+    var hidRange: Option[(Int, Int)] = None
 
     // VERTICAL axis (fontKind 12): each source line becomes a COLUMN —
     // columns placed right-to-left via Tm x-steps (LineDy within a
@@ -1074,20 +1099,24 @@ object PdfBuilder {
       ops.append("BT\n/F1 12 Tf\n")
       var x = 540.0
       var vFirst = true
-      paras.foreach { lines =>
+      paras.zipWithIndex.foreach { case (lines, paraIdx) =>
         lines.zipWithIndex.foreach { case (words, li) =>
           x -= (if (vFirst) 0.0 else if (li == 0) ParaDy else LineDy)
           val lineText = words.mkString(" ")
+          val hide = hiddenPos.contains((paraIdx, li))
           ops.append(s"1 0 0 1 ${d1(x)} 720 Tm\n")
+          if (hide) ops.append("3 Tr\n")
           ops.append(enc.showString(lineText, rng)).append(" Tj\n")
+          if (hide) ops.append("0 Tr\n")
           if (!vFirst) exp.append(if (li == 0) "\n\n" else "\n")
+          if (hide) hidRange = Some((exp.length, exp.length + lineText.length))
           exp.append(lineText)
           vFirst = false
         }
       }
       ops.append("ET\n")
       if (spec.markedContent) ops.append("EMC\n")
-      return (ops.toString, exp.toString, Vector.empty)
+      return (ops.toString, exp.toString, Vector.empty, hidRange)
     }
 
     var y = 720.0
@@ -1197,9 +1226,13 @@ object PdfBuilder {
         lines.zipWithIndex.foreach { case (words, li) =>
           y -= (if (first) 0 else if (li == 0) ParaDy else LineDy)
           val lineText = words.mkString(" ")
+          val hide = hiddenPos.contains((paraIdx, li))
           formOps.append(s"1 0 0 1 72 ${d1(y)} Tm\n")
+          if (hide) formOps.append("3 Tr\n")
           formOps.append(enc.showString(lineText, rng)).append(" Tj\n")
+          if (hide) formOps.append("0 Tr\n")
           if (!first) exp.append(if (li == 0) "\n\n" else "\n")
+          if (hide) hidRange = Some((exp.length, exp.length + lineText.length))
           exp.append(lineText)
           first = false
         }
@@ -1213,13 +1246,17 @@ object PdfBuilder {
           val dy = if (first) 0.0 else if (li == 0) ParaDy else LineDy
           y -= dy
           val lineText = words.mkString(" ")
+          val hide = hiddenPos.contains((paraIdx, li))
+          if (hide) ops.append("3 Tr\n")
           // quote-flow needs a TL before the first positioned line
           if (spec.showKind == 2 && needAbsolute) {
             ops.append(s"${d1(LineDy)} TL\n72 ${d1(y)} Td\n")
             emitShow(ops, spec, lineText, enc, rng)
             needAbsolute = false
           } else emitLine(lineText, dy)
+          if (hide) ops.append("0 Tr\n")
           if (!first) exp.append(if (li == 0) "\n\n" else "\n")
+          if (hide) hidRange = Some((exp.length, exp.length + lineText.length))
           exp.append(lineText)
           first = false
         }
@@ -1236,7 +1273,7 @@ object PdfBuilder {
     }
     ops.append("ET\n")
     if (spec.markedContent) ops.append("EMC\n")
-    (ops.toString, exp.toString, forms.result())
+    (ops.toString, exp.toString, forms.result(), hidRange)
   }
 
   /** Emit the show op for one line: Tj or TJ-with-kerning. */

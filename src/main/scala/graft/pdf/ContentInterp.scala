@@ -43,6 +43,45 @@ object ContentInterp {
 
     def emit(s: String): Unit = sb.append(s)
 
+    // --- hidden-text tracking (Tr 3, r5): ranges of OUTPUT chars shown
+    // with render mode 3 (invisible — the OCR-overlay double-text class
+    // in scanned PDFs). Text bytes are NOT affected (Appendix A output
+    // is frozen); the ranges only drive span tagging so 100 TB
+    // consumers can filter duplicate hidden layers.
+    private val hidden = mutable.ArrayBuffer.empty[(Int, Int)]
+
+    /** Record [from, length) as hidden. Adjacent hidden ranges merge
+      * across assembler-inserted whitespace (gap spaces / breaks
+      * between two invisible shows), so one hidden line reads as one
+      * range despite kerning-split shows.
+      */
+    def markHidden(from: Int): Unit = {
+      val to = sb.length
+      if (to > from) {
+        def wsOnly(a: Int, b: Int): Boolean = {
+          var i = a
+          while (i < b) {
+            val c = sb.charAt(i)
+            if (c != ' ' && c != '\n') return false
+            i += 1
+          }
+          true
+        }
+        if (hidden.nonEmpty && hidden.last._2 >= from) {
+          val (s, e) = hidden.last
+          hidden(hidden.length - 1) = (s, math.max(e, to))
+        } else if (hidden.nonEmpty && wsOnly(hidden.last._2, from)) {
+          val (s, _) = hidden.last
+          hidden(hidden.length - 1) = (s, to)
+        } else hidden += ((from, to))
+      }
+    }
+
+    /** Hidden ranges clamped to the final (trailing-trimmed) length. */
+    def hiddenRanges(finalLen: Int): Vector[(Int, Int)] =
+      hidden.iterator.map { case (s, e) => (s, math.min(e, finalLen)) }
+        .filter { case (s, e) => e > s }.toVector
+
     /** At most one space; never leading, never after whitespace. */
     def space(): Unit = {
       val n = sb.length
@@ -103,10 +142,19 @@ object ContentInterp {
     */
   def run(doc: PdfDocument, content: Array[Byte], resources: PDict,
           fontCache: mutable.Map[PdfObj, FontInfo],
-          warns: mutable.Set[String] = null): String = {
+          warns: mutable.Set[String] = null): String =
+    runPage(doc, content, resources, fontCache, warns)._1
+
+  /** As `run`, additionally returning the Tr-3 hidden-text ranges of
+    * the page text (for `pdf-text-hidden` span tagging, r5).
+    */
+  def runPage(doc: PdfDocument, content: Array[Byte], resources: PDict,
+              fontCache: mutable.Map[PdfObj, FontInfo],
+              warns: mutable.Set[String] = null): (String, Vector[(Int, Int)]) = {
     val asm = new PageAssembler
     exec(doc, content, resources, fontCache, asm, Mat.I, 0, warns)
-    asm.result()
+    val text = asm.result()
+    (text, asm.hiddenRanges(text.length))
   }
 
   /** A font whose every code decodes to "" (degraded rendering). */
@@ -219,7 +267,9 @@ object ContentInterp {
         }
         i += 1
       }
+      val before = asm.length
       asm.emit(sb.toString)
+      if (tr == 3) asm.markHidden(before) // invisible text: tag, don't drop
       tm = (if (font.vertical) Mat.translate(0, -advance) else Mat.translate(advance, 0)) * tm
     }
 

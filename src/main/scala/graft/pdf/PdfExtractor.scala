@@ -31,14 +31,27 @@ object PdfExtractor {
     var emitted = 0
     doc.pages.foreach { page =>
       val content = doc.pageContent(page)
-      val text =
-        if (content.isEmpty) ""
-        else ContentInterp.run(doc, content, page.resources, fontCache, warns)
+      val (text, hid) =
+        if (content.isEmpty) ("", Vector.empty[(Int, Int)])
+        else ContentInterp.runPage(doc, content, page.resources, fontCache, warns)
       if (text.nonEmpty) {
         if (emitted > 0) sb.append(Assembly.UnitJoin)
         val start = sb.length
         sb.append(text)
-        spans += Span(start, sb.length, pageIdx, "pdf-text")
+        if (hid.isEmpty) spans += Span(start, sb.length, pageIdx, "pdf-text")
+        else {
+          // Tr-3 segments get their own span kind (r5): page text is
+          // partitioned; separator chars between segments stay
+          // "pdf-text". Text bytes are identical either way.
+          var pos = 0
+          hid.foreach { case (hs, he) =>
+            if (hs > pos) spans += Span(start + pos, start + hs, pageIdx, "pdf-text")
+            spans += Span(start + hs, start + he, pageIdx, "pdf-text-hidden")
+            pos = he
+          }
+          if (pos < text.length)
+            spans += Span(start + pos, start + text.length, pageIdx, "pdf-text")
+        }
         emitted += 1
       }
       pageIdx += 1

@@ -89,6 +89,24 @@ class InterpSpec extends AnyFunSuite {
     assert(runContent(c) == "invisible")
   }
 
+  test("render-mode-3 ranges are tracked and span-tagged; text bytes unchanged (r5)") {
+    val doc = new PdfDocument(minimalPdf, inf)
+    def page(c: String) = ContentInterp.runPage(doc, c.getBytes("ISO-8859-1"),
+      doc.pages.head.resources, mutable.Map.empty)
+    // visible line, then an invisible one (the OCR-overlay shape)
+    val c = "BT /F1 12 Tf 72 720 Td (seen) Tj 3 Tr 0 -14.4 Td (ghost text) Tj 0 Tr ET"
+    val (text, hid) = page(c)
+    assert(text == "seen\nghost text", text)
+    assert(hid == Vector((5, 15)), hid.toString) // exactly "ghost text"
+    // TJ kern-split inside Tr 3 merges into ONE range across the gap space
+    val c2 = "BT /F1 12 Tf 3 Tr 72 720 Td [(ab) -250 (cd)] TJ ET"
+    val (t2, h2) = page(c2)
+    assert(t2 == "ab cd", t2)
+    assert(h2 == Vector((0, 5)), h2.toString)
+    // no Tr 3 -> no ranges
+    assert(page("BT /F1 12 Tf 72 720 Td (plain) Tj ET")._2.isEmpty)
+  }
+
   test("word spacing applies to advance only, not output") {
     assert(runContent("BT /F1 12 Tf 5 Tw 72 720 Td (a b) Tj ET") == "a b")
   }
