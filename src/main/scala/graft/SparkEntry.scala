@@ -337,10 +337,22 @@ object SparkEntry {
   def oracleSql: Map[String, String] = {
     // SQL mirror of TextAnalysis.countOf for one character
     def cnt(c: String) = s"(length(text) - length(replace(text, '$c', '')))"
-    val de = s"${cnt("ä")} + ${cnt("ö")} + ${cnt("ü")} + ${cnt("ß")}"
-    val fr = s"${cnt("é")} + ${cnt("è")} + ${cnt("ç")} + ${cnt("ô")} + ${cnt("î")}"
-    val es = s"${cnt("ñ")} + ${cnt("¿")} + ${cnt("¡")} + ${cnt("í")}"
-    val zh = s"${cnt("漢")} + ${cnt("字")} + ${cnt("測")} + ${cnt("試")} + ${cnt("文")} + ${cnt("本")}"
+    // langid mirrors (TextAnalysis.langIdCol): padded lowercase text,
+    // multi-char occurrence counts divide by pattern length (exact)
+    val pad = "(' ' || lower(text) || ' ')"
+    def pc(s: String) =
+      if (s.length == 1) s"(length($pad) - length(replace($pad, '$s', '')))"
+      else s"((length($pad) - length(replace($pad, '$s', ''))) / ${s.length})"
+    def pw(s: String) = pc(s" $s ")
+    val zh = s"len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]'))"
+    val de = s"${pc("ß")} * 3 + ${pc("ä")} + ${pc("ö")} + ${pc("ü")} + " +
+      s"(${Seq("und", "der", "die", "das", "ist", "nicht", "mit").map(pw).mkString(" + ")}) * 2"
+    val fr = s"${Seq("é", "è", "ê", "ç", "ô", "î", "â").map(pc).mkString(" + ")} + " +
+      s"(${Seq("le", "la", "les", "et", "des", "est", "dans").map(pw).mkString(" + ")}) * 2"
+    val es = s"(${pc("ñ")} + ${pc("¿")} + ${pc("¡")}) * 3 + " +
+      s"${Seq("á", "í", "ó", "ú").map(pc).mkString(" + ")} + " +
+      s"(${Seq("el", "los", "las", "que", "por", "con", "una").map(pw).mkString(" + ")}) * 2"
+    val enS = s"(${Seq("the", "and", "of", "to", "is", "in", "that").map(pw).mkString(" + ")}) * 2"
     val toks = s"CASE WHEN length(text) = 0 THEN 0 ELSE ${cnt(" ")} + 1 END"
     val punct = Seq(".", ",", "!", "?", ";").map(cnt).mkString(" + ")
     val mwl = s"CASE WHEN $toks > 0 THEN (CAST(length(text) AS DOUBLE) - $toks + 1) / $toks ELSE 0.0 END"
@@ -500,10 +512,10 @@ object SparkEntry {
           "FROM bsz GROUP BY band ORDER BY band")
       },
       "q12_langid" ->
-        (s"SELECT doc_id, CASE WHEN $zh > 0 THEN 'zh' " +
-          s"WHEN $de > $fr AND $de > $es THEN 'de' " +
-          s"WHEN $fr > $es AND $fr >= $de THEN 'fr' " +
-          s"WHEN $es > 0 THEN 'es' ELSE 'en' END AS lang_pred, " +
+        (s"SELECT doc_id, CASE WHEN ($zh) > 0 THEN 'zh' " +
+          s"WHEN ($de) >= ($fr) AND ($de) >= ($es) AND ($de) >= ($enS) AND ($de) > 0 THEN 'de' " +
+          s"WHEN ($fr) >= ($es) AND ($fr) >= ($enS) AND ($fr) > 0 THEN 'fr' " +
+          s"WHEN ($es) >= ($enS) AND ($es) > 0 THEN 'es' ELSE 'en' END AS lang_pred, " +
           "lang AS lang_true FROM documents ORDER BY doc_id LIMIT 2000"),
       "q16_normalize" -> {
         // mirror TextAnalysis.normalize: plant accents + CJK (the
