@@ -1,0 +1,127 @@
+package graft.pdf
+
+import graft.job.Assembly
+
+/** Opt-in layout-aware reading order for two-column pages (r5;
+  * VERDICT r4 "what's missing" #5). Appendix A deliberately freezes
+  * DEFAULT output at show-order assembly (the byte-identity rule), so
+  * real multi-column PDFs read interleaved by default; this module
+  * re-assembles from show GEOMETRY when the caller asks for it
+  * (`PdfExtractor.extract(columnAware = true)`).
+  *
+  * Detection is conservative: it fires only when the page's text-line
+  * start-x values split into exactly two clusters separated by a wide
+  * gutter, each cluster has >= 2 lines, and the clusters' y-ranges
+  * overlap (side-by-side columns, not indented paragraphs). Anything
+  * else — including every single-column document — returns None and
+  * the caller keeps the default (byte-identical) assembly.
+  */
+object Columns {
+
+  /** One text-show event: text-space pen origin, assembled glyphs, the
+    * Tz-scaled advance, effective font size, and writing mode.
+    */
+  final case class ShowEv(x: Double, y: Double, text: String, adv: Double,
+                          tfs: Double, vertical: Boolean)
+
+  /** Minimum gutter between column-start clusters, in ems of the page's
+    * typical font size. 6 em (~72 pt at 12 pt body) is far beyond any
+    * paragraph indent yet well under real column gutters' lower range.
+    */
+  val MinColumnGapEm = 6.0
+
+  /** Shows whose y differs by less than this (in ems) share a line. */
+  private val SameLineEm = 0.3
+
+  private final case class Line(x: Double, y: Double, tfs: Double, text: String)
+
+  /** Re-assemble `events` in two-column reading order, or None when the
+    * page is not confidently two-column.
+    */
+  def assemble(events: Seq[ShowEv]): Option[String] = {
+    if (events.size < 4 || events.exists(_.vertical)) return None
+
+    // group shows into lines by y proximity (events arrive in show
+    // order; real columns interleave, so group globally)
+    val byLine = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[ShowEv]]
+    events.filter(_.text.nonEmpty).foreach { ev =>
+      byLine.find(l => math.abs(l.head.y - ev.y) <= SameLineEm * ev.tfs) match {
+        case Some(l) => l += ev
+        case None => byLine += scala.collection.mutable.ArrayBuffer(ev)
+      }
+    }
+
+    // a line PER COLUMN: within one y-row, shows separated by a wide
+    // gutter belong to different columns' lines — split rows on any
+    // x-gap >= MinColumnGapEm (pen-end to next start)
+    val lines = scala.collection.mutable.ArrayBuffer.empty[Line]
+    byLine.foreach { row =>
+      val sorted = row.sortBy(_.x)
+      var cur = scala.collection.mutable.ArrayBuffer[ShowEv](sorted.head)
+      def flush(): Unit = {
+        val sb = new java.lang.StringBuilder
+        var pen = Double.NaN
+        cur.foreach { ev =>
+          if (!pen.isNaN) {
+            val gap = ev.x - pen
+            if (gap / ev.tfs >= Assembly.SpaceGapEm &&
+              sb.length > 0 && sb.charAt(sb.length - 1) != ' ') sb.append(' ')
+          }
+          sb.append(ev.text)
+          pen = ev.x + ev.adv
+        }
+        val t = sb.toString.trim
+        if (t.nonEmpty) lines += Line(cur.head.x, cur.head.y, cur.head.tfs, t)
+        cur = scala.collection.mutable.ArrayBuffer.empty
+      }
+      var pen = sorted.head.x + sorted.head.adv
+      sorted.tail.foreach { ev =>
+        if (ev.x - pen >= MinColumnGapEm * ev.tfs) flush()
+        cur += ev
+        pen = ev.x + ev.adv
+      }
+      flush()
+    }
+    if (lines.size < 4) return None
+
+    // two-cluster test on line start-x: largest gap between consecutive
+    // distinct origins must be a real gutter
+    val tfsTyp = lines.map(_.tfs).sorted.apply(lines.size / 2)
+    val xs = lines.map(_.x).distinct.sorted
+    if (xs.size < 2) return None
+    var splitAt = Double.NaN
+    var best = 0.0
+    var i = 1
+    while (i < xs.size) {
+      val g = xs(i) - xs(i - 1)
+      if (g > best) { best = g; splitAt = (xs(i) + xs(i - 1)) / 2 }
+      i += 1
+    }
+    if (best < MinColumnGapEm * tfsTyp) return None
+    val (left, right) = lines.partition(_.x < splitAt)
+    if (left.size < 2 || right.size < 2) return None
+    // side-by-side, not stacked: y-ranges must overlap
+    def yRange(ls: Seq[Line]) = (ls.map(_.y).min, ls.map(_.y).max)
+    val (lLo, lHi) = yRange(left.toSeq)
+    val (rLo, rHi) = yRange(right.toSeq)
+    if (math.min(lHi, rHi) < math.max(lLo, rLo)) return None
+
+    def emitColumn(ls: Seq[Line], out: java.lang.StringBuilder): Unit = {
+      val sorted = ls.sortBy(l => (-l.y, l.x))
+      var prev: Line = null
+      sorted.foreach { l =>
+        if (prev != null) {
+          val dy = prev.y - l.y
+          out.append(if (dy > Assembly.ParaBreakEm * prev.tfs) "\n\n" else "\n")
+        }
+        out.append(l.text)
+        prev = l
+      }
+    }
+    val out = new java.lang.StringBuilder
+    emitColumn(left.toSeq, out)
+    out.append("\n\n") // column boundary reads as a paragraph break
+    emitColumn(right.toSeq, out)
+    Some(out.toString)
+  }
+}

@@ -157,6 +157,22 @@ object ContentInterp {
     (text, asm.hiddenRanges(text.length))
   }
 
+  /** As `runPage`, additionally collecting raw show GEOMETRY events for
+    * the opt-in column-aware re-assembly (pdf/Columns.scala, r5). The
+    * default text is still produced — callers fall back to it when
+    * column detection declines.
+    */
+  def runPageWithEvents(doc: PdfDocument, content: Array[Byte], resources: PDict,
+                        fontCache: mutable.Map[PdfObj, FontInfo],
+                        warns: mutable.Set[String] = null)
+      : (String, Vector[(Int, Int)], Vector[Columns.ShowEv]) = {
+    val asm = new PageAssembler
+    val events = new mutable.ArrayBuffer[Columns.ShowEv](64)
+    exec(doc, content, resources, fontCache, asm, Mat.I, 0, warns, events)
+    val text = asm.result()
+    (text, asm.hiddenRanges(text.length), events.toVector)
+  }
+
   /** A font whose every code decodes to "" (degraded rendering). */
   private def mutedFont(name: String): FontInfo =
     FontInfo(name, "Type0", 2, ToUnicodeCMap.empty, null, Map.empty,
@@ -165,7 +181,8 @@ object ContentInterp {
   private def exec(doc: PdfDocument, content: Array[Byte], resources: PDict,
                    fontCache: mutable.Map[PdfObj, FontInfo],
                    asm: PageAssembler, ctm0: Mat, depth: Int,
-                   warns: mutable.Set[String] = null): Unit = {
+                   warns: mutable.Set[String] = null,
+                   events: mutable.ArrayBuffer[Columns.ShowEv] = null): Unit = {
     if (depth > MaxFormDepth) return
     val lx = new Lexer(content)
     val stack = new mutable.ArrayBuffer[PdfObj](8)
@@ -270,6 +287,8 @@ object ContentInterp {
       val before = asm.length
       asm.emit(sb.toString)
       if (tr == 3) asm.markHidden(before) // invisible text: tag, don't drop
+      if (events != null && sb.length > 0)
+        events += Columns.ShowEv(tm.e, tm.f, sb.toString, advance, effTfs, font.vertical)
       tm = (if (font.vertical) Mat.translate(0, -advance) else Mat.translate(advance, 0)) * tm
     }
 
@@ -342,7 +361,7 @@ object ContentInterp {
                 .getOrElse(resources)
               val data = try doc.decodeStream(s) catch { case _: Exception => Array.empty[Byte] }
               if (data.nonEmpty)
-                exec(doc, data, formRes, fontCache, asm, mtx * ctm, depth + 1, warns)
+                exec(doc, data, formRes, fontCache, asm, mtx * ctm, depth + 1, warns, events)
             case _ =>
               // Image XObject: no text, but its PRESENCE is the
               // image-only-document signal (scanned-PDF observability;

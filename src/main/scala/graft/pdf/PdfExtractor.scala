@@ -20,8 +20,17 @@ object PdfExtractor {
 
   /** Extract; throws on unrecoverable structure errors (caller maps to
     * an error row). `inflater` comes from the per-partition ExtractCtx.
+    *
+    * `columnAware = true` (r5, OPT-IN — off the byte-identity path):
+    * pages that confidently detect as two side-by-side columns are
+    * re-assembled left-column-then-right from show geometry
+    * (pdf/Columns.scala); every other page keeps the default
+    * (Appendix A) show-order assembly byte-identically. Hidden-span
+    * tagging applies only to default-assembled pages (a re-ordered
+    * page's offsets no longer map to Tr-3 show ranges).
     */
-  def extract(bytes: Array[Byte], inflater: java.util.zip.Inflater): PdfResult = {
+  def extract(bytes: Array[Byte], inflater: java.util.zip.Inflater,
+              columnAware: Boolean = false): PdfResult = {
     val doc = new PdfDocument(bytes, inflater)
     val fontCache = mutable.Map.empty[PdfObj, FontInfo]
     val warns = mutable.LinkedHashSet.empty[String] // first-seen order
@@ -33,7 +42,14 @@ object PdfExtractor {
       val content = doc.pageContent(page)
       val (text, hid) =
         if (content.isEmpty) ("", Vector.empty[(Int, Int)])
-        else ContentInterp.runPage(doc, content, page.resources, fontCache, warns)
+        else if (columnAware) {
+          val (t, h, evs) =
+            ContentInterp.runPageWithEvents(doc, content, page.resources, fontCache, warns)
+          Columns.assemble(evs) match {
+            case Some(colText) => (colText, Vector.empty[(Int, Int)])
+            case None => (t, h)
+          }
+        } else ContentInterp.runPage(doc, content, page.resources, fontCache, warns)
       if (text.nonEmpty) {
         if (emitted > 0) sb.append(Assembly.UnitJoin)
         val start = sb.length
