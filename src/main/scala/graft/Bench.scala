@@ -47,7 +47,12 @@ object Bench {
       graft.job.ExtractJob.plan(spark, corpus, null, spec)
         .filter(_.error.isEmpty).count()
 
-    // --- phase 1: untimed warm-up (JIT + codegen + file-cache)
+    // --- phase 1: untimed warm-up (JIT + codegen + file-cache).
+    // TWO extraction passes: right after a corpus (re)generation the
+    // first timed reps otherwise still pay page-cache/JIT warming —
+    // r5's first invocation read 1.5x slow through FIVE timed reps
+    // (reps 6.2→3.3 s declining; BENCH/BASELINE.md r5 invocation 1).
+    extractOnce()
     extractOnce()
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
     sorted.foreach { case (_, fn) =>
