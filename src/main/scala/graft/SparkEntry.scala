@@ -280,6 +280,12 @@ object SparkEntry {
     // actual guard; xxhash64 is not ANSI-expressible → rows-only)
     "d8_band_bucket_stats_prod" -> ((s, dir) =>
       Dedup.minhashBandStats(docsWithDups(s, dir))),
+    // near-dup CLUSTERS (r5): connected components over the portable
+    // LSH pairs — min-label propagation vs a DuckDB RECURSIVE-CTE
+    // transitive closure (the chaining A~B~C case pairs can't answer)
+    "d9_neardup_clusters" -> ((s, dir) =>
+      Dedup.nearDupClusters(
+        Dedup.minhashPairsPortable(docsWithDups(s, dir).filter(col("doc_id") % 4 === 0)))),
     "s1_ann_brute" -> ((s, dir) => {
       val emb = embeddings(s, dir)
       val q = emb.orderBy("vec_id").limit(5)
@@ -500,6 +506,22 @@ object SparkEntry {
           "JOIN sigs sa ON doc_a = sa.doc_id JOIN sigs sb ON doc_b = sb.doc_id) " +
           "SELECT doc_a, doc_b, ROUND(ej, 6) AS est_jaccard FROM est " +
           "WHERE ej >= 0.5 ORDER BY doc_a, doc_b")
+      },
+      // connected components over the d6 candidate pairs: recursive-CTE
+      // transitive closure, cluster id = component min (the canonical)
+      "d9_neardup_clusters" -> {
+        val matches = portableMatches
+        (s"${dupDocs.replaceFirst("WITH ", "WITH RECURSIVE ")}, $portableBandCtes, " +
+          "cand0 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+          "FROM bands a JOIN bands b USING (band, sig) WHERE a.doc_id < b.doc_id), " +
+          s"est AS (SELECT doc_a, doc_b, ($matches) / 16.0 AS ej FROM cand0 " +
+          "JOIN sigs sa ON doc_a = sa.doc_id JOIN sigs sb ON doc_b = sb.doc_id), " +
+          "cand AS (SELECT doc_a, doc_b FROM est WHERE ej >= 0.5), " +
+          "edges AS (SELECT doc_a AS s, doc_b AS d FROM cand " +
+          "UNION SELECT doc_b, doc_a FROM cand), " +
+          "reach AS (SELECT s, s AS d FROM (SELECT DISTINCT s FROM edges) t " +
+          "UNION SELECT e.s, r.d FROM edges e JOIN reach r ON e.d = r.s) " +
+          "SELECT s AS doc_id, MIN(d) AS cluster_id FROM reach GROUP BY s ORDER BY doc_id")
       },
       // cap observability over the same band table (cap = 2, so planted
       // dup families show as droppable)

@@ -193,6 +193,45 @@ object Dedup {
                                maxBandBucket: Int = DefaultMaxBandBucket): DataFrame =
     bandStats(minhashBucketsPortable(docs, k, numHashes, bands), maxBandBucket)
 
+  /** Connected components over near-dup candidate pairs → one cluster
+    * id (the component's MIN doc_id — the canonical document) per
+    * member. The standard step after pair generation in a dedup
+    * pipeline: pairs alone cannot answer "keep one per family" when
+    * near-dup relations chain (A~B, B~C but A!~C).
+    *
+    * Min-label propagation over symmetric edges: each iteration is two
+    * co-partitioned shuffles (neighbor-min aggregate + label join),
+    * converging in O(diameter) rounds. LSH family graphs are
+    * near-cliques (diameter 2–3 — every member shares a band bucket
+    * with most others), so `maxIter` 10 is generous; iteration stops
+    * EARLY via a changed-label count (one bounded action per round,
+    * scalar only — no data to the driver). Rows whose doc never pairs
+    * are absent (singleton = its own cluster, derivable by left join).
+    */
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+    var i = 0
+    var changed = 1L
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min("cluster_id").as("nbr_min"))
+      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    labels.orderBy("doc_id")
+  }
+
   /** SimHash (64-bit): per-token hash, bitwise weighted majority.
     * All 64 bit-sums happen in one hash-aggregate pass.
     */

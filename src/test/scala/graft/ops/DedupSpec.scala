@@ -178,6 +178,22 @@ class DedupSpec extends AnyFunSuite {
     assert(!cappedPortable.exists { case (a, b) => a >= 1000L && b >= 1000L })
   }
 
+  test("nearDupClusters: chained pairs merge transitively, min id is canonical") {
+    // components: {1,2,3} via chain 1-2, 2-3 (1 and 3 never paired
+    // directly — the case pair output cannot answer); {10,11}; 99 alone
+    val pairs = spark.createDataFrame(Seq(
+      (2L, 3L), (1L, 2L), (10L, 11L))).toDF("doc_a", "doc_b")
+    val got = Dedup.nearDupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L), got.toString)
+    // longer chain (diameter 4): early-stop still converges
+    val chain = spark.createDataFrame(
+      (1L until 6L).map(i => (i, i + 1))).toDF("doc_a", "doc_b")
+    val got2 = Dedup.nearDupClusters(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == (1L to 6L).map(_ -> 1L).toMap, got2.toString)
+  }
+
   test("simhashPairs maxBandBucket: mega-family dropped, honest near-dup kept") {
     val body = (1 to 120).map(i => s"tmpl$i").mkString(" ")
     // identical texts -> identical simhash -> one bucket per band of
