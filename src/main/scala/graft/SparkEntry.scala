@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.gen.CorpusTables
 import graft.job.{ExtractJob, Partitioning}
-import graft.ops.{Dedup, Similarity, TextAnalysis, Multimodal}
+import graft.ops.{Dedup, Similarity, TextAnalysis, Multimodal, Urls}
 
 /** Driver contract (SURVEY.md §3.3): flagship entry + one query per
   * operator, with DuckDB-oracle SQL where ANSI-expressible.
@@ -240,6 +240,33 @@ object SparkEntry {
     // rule-based sentence segmentation, terminator runs planted
     // in-query (fixture text carries none) — r4
     "q17_sentences" -> ((s, dir) => TextAnalysis.sentences(docs(s, dir)).limit(2000)),
+    // URL canonicalization (r5): messy URLs planted deterministically
+    // (fixture has no url column), canonical form = the crawl dedup key
+    "q18_url_canon" -> ((s, dir) => {
+      val messy = concat(
+        when(col("doc_id") % 3 === 0, lit("HTTPS://Example.COM:443"))
+          .when(col("doc_id") % 3 === 1, lit("http://WWW.Test.ORG:80"))
+          .otherwise(lit("https://Data.site.IO:8080")),
+        lit("/Path/item"), (col("doc_id") % 7).cast("string"),
+        when(col("doc_id") % 2 === 0, lit("?utm_source=feed&b=2&a=1&gclid=g"))
+          .otherwise(lit("?z=9&utm_medium=email&a=1&")), // trailing & = empty-param edge
+        when(col("doc_id") % 5 === 0, lit("#frag")).otherwise(lit("")))
+      docs(s, dir).select(col("doc_id"), messy.as("url_raw"),
+        Urls.canonicalize(messy).as("url_canon"))
+        .orderBy("doc_id").limit(2000)
+    }),
+    // BPE-ish subword-token estimate vs whitespace tokens (r5); digits
+    // + punctuation planted in-query so the ratio is provably nontrivial
+    "q19_bpe_tokens" -> ((s, dir) => {
+      val seeded = regexp_replace(col("text"), "spark", "spark42.")
+      docs(s, dir).groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.bpeTokenCount(seeded)).as("bpe_tokens"),
+        sum(TextAnalysis.tokenCount(seeded)).as("ws_tokens"))
+        .withColumn("subword_ratio",
+          round(col("bpe_tokens").cast("double") / col("ws_tokens"), 6))
+        .orderBy("lang")
+    }),
 
     // ---- dedup / similarity / fingerprint (Spark-only oracles) ----
     "d1_exact_dedup_groups" -> ((s, dir) => Dedup.exact(docsWithDups(s, dir))),
@@ -570,6 +597,43 @@ object SparkEntry {
           s"CAST($nSent AS BIGINT) AS n_sentences, " +
           s"ROUND(CASE WHEN $nSent > 0 THEN CAST($toks AS DOUBLE) / $nSent ELSE 0.0 END, 4) AS mean_sentence_tokens " +
           "FROM documents ORDER BY doc_id LIMIT 2000"
+      },
+      "q18_url_canon" -> {
+        // mirror the planted messy URL + Urls.canonicalize exactly
+        val messy = "(CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://Example.COM:443' " +
+          "WHEN doc_id % 3 = 1 THEN 'http://WWW.Test.ORG:80' " +
+          "ELSE 'https://Data.site.IO:8080' END || '/Path/item' || " +
+          "CAST(doc_id % 7 AS VARCHAR) || " +
+          "CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&b=2&a=1&gclid=g' " +
+          "ELSE '?z=9&utm_medium=email&a=1&' END || " +
+          "CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END)"
+        ("WITH m AS (SELECT doc_id, " + messy + " AS u FROM documents), " +
+          "parts AS (SELECT doc_id, u, " +
+          "lower(regexp_extract(u, '^([A-Za-z]+)://', 1)) AS scheme, " +
+          "lower(regexp_extract(u, '^[A-Za-z]+://([^/?#]+)', 1)) AS rawhost, " +
+          "regexp_extract(u, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS rawpath, " +
+          "regexp_extract(u, '\\?([^#]*)', 1) AS rawq FROM m), " +
+          "canon AS (SELECT doc_id, u, scheme, " +
+          "CASE WHEN scheme = 'http' THEN regexp_replace(rawhost, ':80$', '') " +
+          "WHEN scheme = 'https' THEN regexp_replace(rawhost, ':443$', '') " +
+          "ELSE rawhost END AS host, " +
+          "CASE WHEN length(rawpath) = 0 THEN '/' ELSE rawpath END AS path, " +
+          "array_to_string(list_sort(list_filter(string_split(rawq, '&'), " +
+          "t -> len(t) > 0 AND NOT regexp_matches(t, '^(utm_|fbclid|gclid)'))), '&') AS kept " +
+          "FROM parts) " +
+          "SELECT doc_id, u AS url_raw, scheme || '://' || host || path || " +
+          "CASE WHEN length(kept) = 0 THEN '' ELSE '?' || kept END AS url_canon " +
+          "FROM canon ORDER BY doc_id LIMIT 2000")
+      },
+      "q19_bpe_tokens" -> {
+        val seeded = "regexp_replace(text, 'spark', 'spark42.', 'g')"
+        val bpe = s"len(regexp_extract_all($seeded, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))"
+        val ws = s"CASE WHEN length($seeded) = 0 THEN 0 ELSE " +
+          s"(length($seeded) - length(replace($seeded, ' ', ''))) + 1 END"
+        (s"SELECT lang, COUNT(*) AS n_docs, CAST(SUM($bpe) AS BIGINT) AS bpe_tokens, " +
+          s"CAST(SUM($ws) AS BIGINT) AS ws_tokens, " +
+          s"ROUND(CAST(SUM($bpe) AS DOUBLE) / SUM($ws), 6) AS subword_ratio " +
+          "FROM documents GROUP BY lang ORDER BY lang")
       })
   }
 }

@@ -19,6 +19,16 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     when(length(text) === 0, 0L).otherwise(countOf(text, " ") + 1L)
 
+  /** BPE-ish subword-token ESTIMATE (r5): letter runs, digit runs, and
+    * single non-alphanumeric marks each count one token — the
+    * GPT-2-pattern skeleton that tracks real tokenizer counts far
+    * closer than whitespace splitting (digits and punctuation inflate
+    * subword counts). One portable regex class, so the DuckDB oracle
+    * mirrors it (q19).
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).cast("long")
+
   /** Language-ID scorer (en/de/fr/es/zh): per-language evidence from
     * (a) the FULL CJK ideograph class (any char in U+4E00..U+9FFF, not
     * a fixed char list), (b) language-characteristic letter classes
