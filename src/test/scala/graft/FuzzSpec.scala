@@ -60,6 +60,20 @@ class FuzzSpec extends AnyFunSuite {
   }
   private val Sfnt2 = graft.pdf.Sfnt
 
+  test("Cff parser survives random and mutated inputs (r5)") {
+    val rng = new scala.util.Random(20260818L)
+    val validCff = graft.gen.CffBuilder.build(
+      Seq(0x20 -> ' '.toInt, 0x41 -> 'a'.toInt, 0x42 -> 0x03B1, 0x43 -> 0x6F22))
+    (0 until 800).foreach { i =>
+      val input =
+        if (i % 3 == 0) Array.fill(rng.nextInt(300))(rng.nextInt(256).toByte)
+        else mutate(validCff, rng)
+      val t0 = System.nanoTime()
+      graft.pdf.Cff.parse(input) // catches internally: empty map, never throws
+      assert((System.nanoTime() - t0) / 1000000 < 2000, s"cff fuzz case $i slow")
+    }
+  }
+
   private def mutate(bytes: Array[Byte], rng: scala.util.Random): Array[Byte] = {
     val mode = rng.nextInt(4)
     mode match {
