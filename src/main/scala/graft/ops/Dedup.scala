@@ -209,11 +209,21 @@ object Dedup {
     * are absent (singleton = its own cluster, derivable by left join).
     */
   def nearDupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // EAGER materialization per step (localCheckpoint): an iterative
+    // algorithm must cut lineage every round, or round i's plan
+    // re-embeds (and re-executes pieces of) every earlier round plus
+    // the upstream LSH pipeline — lazy .cache() raced its own
+    // first-materialization inside multi-branch actions and the bench
+    // paid the minhash pipeline ~30x (117-174 s at sf0.1; ~3 s
+    // checkpointed). On a real cluster substitute reliable
+    // checkpoint() — same shape, HDFS-backed.
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
+      .localCheckpoint()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint()
     var i = 0
     var changed = 1L
     while (changed > 0 && i < maxIter) {
@@ -222,10 +232,9 @@ object Dedup {
       val next = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
-        .cache()
+        .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
         .filter(col("cluster_id") =!= col("old")).count()
-      labels.unpersist()
       labels = next
       i += 1
     }
