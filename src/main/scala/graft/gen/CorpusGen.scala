@@ -114,7 +114,11 @@ object CorpusGen {
       // (OCR-overlay-style) last line, span-tagged pdf-text-hidden.
       // 11 is coprime to the fontKind cycle (13), zh (8), encrypt (7),
       // xref (5) and splitShow (2) gates.
-      hiddenLine = i % 11 == 5)
+      hiddenLine = i % 11 == 5,
+      // rotated-page axis (r5): ~1/9 of PDFs are quarter-turned
+      // sideways scans (never combined with the vertical CMap kind,
+      // whose own branch wins); 9 is coprime to every other gate.
+      rotated = i % 9 == 7 && fontKind != 12)
   }
 
   /** WET-style flattened text: expected text with newlines as spaces —

@@ -52,7 +52,13 @@ object PdfBuilder {
         * bytes are unchanged; the line's span kind becomes
         * `pdf-text-hidden`.
         */
-      hiddenLine: Boolean = false)
+      hiddenLine: Boolean = false,
+      /** Rotated-page axis (r5): text matrices quarter-turned CCW
+        * ([0 1 -1 0 x y] — the sideways-scan class): baselines run
+        * along +y, successive lines advance in +x. The extractor must
+        * assemble via baseline projections (Appendix A rotation rule).
+        */
+      rotated: Boolean = false)
 
   private val FS = 12.0 // font size
   private val LineDy = 14.4 // 1.2 em -> single \n (App. A: 0.5 < 1.2 < 1.8)
@@ -1112,6 +1118,36 @@ object PdfBuilder {
           if (hide) hidRange = Some((exp.length, exp.length + lineText.length))
           exp.append(lineText)
           vFirst = false
+        }
+      }
+      ops.append("ET\n")
+      if (spec.markedContent) ops.append("EMC\n")
+      return (ops.toString, exp.toString, Vector.empty, hidRange)
+    }
+
+    // ROTATED axis (r5, fontKind-agnostic except vertical): quarter-
+    // turn CCW text matrices — in-line direction +y, line advance +x.
+    // Same expected text shape; only the geometry differs (Appendix A
+    // rotation rule: origins/gaps are baseline projections).
+    if (spec.rotated) {
+      ops.append("% synthetic rotated page content\n")
+      if (spec.markedContent) ops.append("/Synth BMC\n")
+      ops.append("BT\n/F1 12 Tf\n")
+      var x = 72.0
+      var rFirst = true
+      paras.zipWithIndex.foreach { case (lines, paraIdx) =>
+        lines.zipWithIndex.foreach { case (words, li) =>
+          x += (if (rFirst) 0.0 else if (li == 0) ParaDy else LineDy)
+          val lineText = words.mkString(" ")
+          val hide = hiddenPos.contains((paraIdx, li))
+          ops.append(s"0 1 -1 0 ${d1(x)} 72 Tm\n")
+          if (hide) ops.append("3 Tr\n")
+          ops.append(enc.showString(lineText, rng)).append(" Tj\n")
+          if (hide) ops.append("0 Tr\n")
+          if (!rFirst) exp.append(if (li == 0) "\n\n" else "\n")
+          if (hide) hidRange = Some((exp.length, exp.length + lineText.length))
+          exp.append(lineText)
+          rFirst = false
         }
       }
       ops.append("ET\n")

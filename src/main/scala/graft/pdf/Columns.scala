@@ -19,10 +19,13 @@ import graft.job.Assembly
 object Columns {
 
   /** One text-show event: text-space pen origin, assembled glyphs, the
-    * Tz-scaled advance, effective font size, and writing mode.
+    * Tz-scaled advance, effective font size, and whether the show is
+    * anything other than plain horizontal (vertical-CMap font OR a
+    * rotated/flipped text matrix) — such shows poison x/y-based column
+    * geometry, so their presence declines the page.
     */
   final case class ShowEv(x: Double, y: Double, text: String, adv: Double,
-                          tfs: Double, vertical: Boolean)
+                          tfs: Double, nonAxisAligned: Boolean)
 
   /** Minimum gutter between column-start clusters, in ems of the page's
     * typical font size. 6 em (~72 pt at 12 pt body) is far beyond any
@@ -39,7 +42,7 @@ object Columns {
     * page is not confidently two-column.
     */
   def assemble(events: Seq[ShowEv]): Option[String] = {
-    if (events.size < 4 || events.exists(_.vertical)) return None
+    if (events.size < 4 || events.exists(_.nonAxisAligned)) return None
 
     // group shows into lines by y proximity (events arrive in show
     // order; real columns interleave, so group globally)

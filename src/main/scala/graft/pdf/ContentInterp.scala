@@ -233,17 +233,45 @@ object ContentInterp {
 
     @inline def effTfs: Double = math.max(math.abs(tfs), 1e-9)
 
+    /** Line-origin coordinate: the projection of (e, f) onto the
+      * BASELINE NORMAL (r5 — generalizes the raw-y rule to rotated
+      * text matrices). For the axis-aligned case (a=1, b=0) this is
+      * bit-identical to m.f (hypot(1,0) = 1 exactly), so Appendix A
+      * output is unchanged for every non-rotated document; a
+      * quarter-turned scan's lines (baseline along ±y) now get their
+      * origins from ∓x and assemble correctly instead of colliding on
+      * a constant y. Vertical-CMap fonts keep their own rule (origin =
+      * column x).
+      */
+    @inline def originOf(m: Mat): Double = {
+      if (font != null && font.vertical) m.e
+      else {
+        val len = math.hypot(m.a, m.b)
+        if (len < 1e-12) m.f else (m.a * m.f - m.b * m.e) / len
+      }
+    }
+
+    /** In-line coordinate: projection of (e, f) onto the baseline
+      * direction (= raw x for axis-aligned matrices, bit-identically).
+      */
+    @inline def alongOf(m: Mat): Double = {
+      val len = math.hypot(m.a, m.b)
+      if (len < 1e-12) m.e else (m.a * m.e + m.b * m.f) / len
+    }
+
     /** Positioning move to a new text-line origin: decide break/space
       * per Appendix A using the pre-move position (tm) and the new one.
       * For VERTICAL fonts the axes flip (Appendix A vertical rule, r4):
       * a "line" is a COLUMN whose origin coordinate is X (columns
       * progress right-to-left, so a LEFTWARD x move breaks), and the
       * same-column positional gap is the DOWNWARD y-delta. `asm.lineY`
-      * holds the current line/column origin in either mode.
+      * holds the current line/column origin in either mode. r5: both
+      * coordinates are baseline projections, so rotated pages follow
+      * the same rules in their own frame.
       */
     def positionMoved(): Unit = {
       val vert = font != null && font.vertical
-      val newOrigin = if (vert) tlm.e else tlm.f
+      val newOrigin = originOf(tlm)
       if (asm.lineY.isNaN) { asm.lineY = newOrigin; tm = tlm; return }
       // next line is DOWNWARD (horizontal) / next column LEFTWARD
       // (vertical): both are negative deltas on their origin coordinate
@@ -254,7 +282,7 @@ object ContentInterp {
         asm.lineBreak(para = false); asm.lineY = newOrigin
       } else {
         // same line/column: positional gap beyond the pending advance
-        val gap = if (vert) tm.f - tlm.f else tlm.e - tm.e
+        val gap = if (vert) tm.f - tlm.f else alongOf(tlm) - alongOf(tm)
         if (gap / effTfs >= Assembly.SpaceGapEm) asm.space()
       }
       tm = tlm
@@ -264,7 +292,7 @@ object ContentInterp {
     def show(bytes: Array[Byte]): Unit = {
       if (font == null) setFont("", if (tfs == 0) 12.0 else tfs)
       if (asm.length > MaxChars) return
-      if (asm.lineY.isNaN) asm.lineY = tm.f // text before any positioning op
+      if (asm.lineY.isNaN) asm.lineY = originOf(tm) // text before any positioning op
       val cs = font.codes(bytes)
       var i = 0
       var advance = 0.0
@@ -288,7 +316,10 @@ object ContentInterp {
       asm.emit(sb.toString)
       if (tr == 3) asm.markHidden(before) // invisible text: tag, don't drop
       if (events != null && sb.length > 0)
-        events += Columns.ShowEv(tm.e, tm.f, sb.toString, advance, effTfs, font.vertical)
+        events += Columns.ShowEv(tm.e, tm.f, sb.toString, advance, effTfs,
+          // rotated shows poison x/y-based column geometry: flag them
+          // so Columns.assemble declines the page (r5)
+          font.vertical || math.abs(tm.b) > 1e-9 || tm.a <= 0)
       tm = (if (font.vertical) Mat.translate(0, -advance) else Mat.translate(advance, 0)) * tm
     }
 

@@ -110,4 +110,27 @@ class InterpSpec extends AnyFunSuite {
   test("word spacing applies to advance only, not output") {
     assert(runContent("BT /F1 12 Tf 5 Tw 72 720 Td (a b) Tj ET") == "a b")
   }
+
+  test("rotated text matrices assemble via baseline projections (r5)") {
+    // quarter-turn CCW: baseline +y, lines advance +x. Two lines 14.4pt
+    // apart -> '\n'; paragraph step 28.8 -> '\n\n'
+    val c = "BT /F1 12 Tf " +
+      "0 1 -1 0 72 72 Tm (first line) Tj " +
+      "0 1 -1 0 86.4 72 Tm (second line) Tj " +
+      "0 1 -1 0 115.2 72 Tm (new para) Tj ET"
+    assert(runContent(c) == "first line\nsecond line\n\nnew para")
+    // same rotated line, a wide along-baseline (y) gap reads as a space:
+    // "AB" advances pen to y = 72 + ~2*6.67... use an explicit re-Tm at
+    // a y well past the pen (72 + 40): gap >> 0.18 em
+    val c2 = "BT /F1 12 Tf 0 1 -1 0 72 72 Tm (AB) Tj 0 1 -1 0 72 120 Tm (CD) Tj ET"
+    assert(runContent(c2) == "AB CD")
+    // and a kern-sized move stays seamless (pen after (AB) at
+    // y = 72 + 2*width; width(A)=width(B)=667/1000*12=8.004 -> pen 88.008;
+    // next Tm at 88.2 -> gap 0.192pt = 0.016 em < 0.18)
+    val c3 = "BT /F1 12 Tf 0 1 -1 0 72 72 Tm (AB) Tj 0 1 -1 0 72 88.2 Tm (CD) Tj ET"
+    assert(runContent(c3) == "ABCD")
+    // axis-aligned documents are BIT-identical through the projection
+    // (a=1,b=0: hypot=1 exactly): same content both ways
+    assert(runContent("BT /F1 12 Tf 72 720 Td (Hi there) Tj ET") == "Hi there")
+  }
 }
