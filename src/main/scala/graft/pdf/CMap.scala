@@ -19,6 +19,16 @@ object CodeSpace {
 
   /** Number of bytes the code starting at `bytes(pos)` occupies per the
     * `ranges` (lo, hi, nBytes); `fallback` when nothing matches.
+    *
+    * Matching is BYTE-WISE, not packed-integer: ISO 32000-1 §9.7.6.2
+    * defines a codespace range as a per-byte box — byte k of the code
+    * must lie within [byte k of lo, byte k of hi] independently. The
+    * distinction matters for GB18030: the 2-byte GBK range
+    * <8140>-<FEFE> and the 4-byte range <81308130>-<FE39FE39> are
+    * byte-wise disjoint (2nd byte ≥ 0x40 vs 0x30-0x39), but a packed
+    * comparison would claim any 4-byte code whose first two bytes pack
+    * ≥ 0x8140 (i.e. first byte ≥ 0x82, e.g. U+4DB6 = 82 35 87 39) for
+    * the 2-byte range and mis-split it (ADVICE r5 high).
     */
   def codeLen(ranges: Vector[(Long, Long, Int)], bytes: Array[Byte], pos: Int,
               fallback: Int): Int = {
@@ -27,10 +37,15 @@ object CodeSpace {
     while (i < ranges.length) {
       val (lo, hi, n) = ranges(i)
       if (n <= remain) {
-        var v = 0L
+        var ok = true
         var k = 0
-        while (k < n) { v = (v << 8) | (bytes(pos + k) & 0xff); k += 1 }
-        if (v >= lo && v <= hi) return n
+        while (ok && k < n) {
+          val shift = 8 * (n - 1 - k)
+          val b = bytes(pos + k) & 0xff
+          if (b < ((lo >> shift) & 0xff) || b > ((hi >> shift) & 0xff)) ok = false
+          k += 1
+        }
+        if (ok) return n
       }
       i += 1
     }

@@ -166,10 +166,15 @@ object Cff {
     val nGlyphs = u16(b, charStringsOff) // CharStrings INDEX count
     if (nGlyphs <= 0) return Map.empty
 
-    // charset: GID → SID. Offset 0 = ISOAdobe (SID = GID), 1/2 =
-    // Expert charsets (not name-mappable here) — treat as identity.
+    // charset: GID → SID. Offset 0 = ISOAdobe (SID = GID identity by
+    // construction). Offsets 1/2 = predefined Expert/ExpertSubset
+    // charsets — their GID→SID tables are NOT identity and are not
+    // carried here, so resolving them as identity would map codes to
+    // wrong ISOAdobe glyph names (wrong characters). Decline instead:
+    // the caller degrades typed, like CID-keyed fonts (ADVICE r5 low).
+    if (charsetOff == 1 || charsetOff == 2) return Map.empty
     val gidSid: Int => Int =
-      if (charsetOff <= 2) identity
+      if (charsetOff == 0) identity
       else {
         val m = new Array[Int](nGlyphs)
         u8(b, charsetOff) match {

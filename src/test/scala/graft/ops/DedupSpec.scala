@@ -194,6 +194,25 @@ class DedupSpec extends AnyFunSuite {
     assert(got2 == (1L to 6L).map(_ -> 1L).toMap, got2.toString)
   }
 
+  test("nearDupClusters: checkpoint seam + convergence status exposed by value") {
+    // injected seam: cluster callers substitute reliable checkpoint();
+    // count invocations to prove every round flows through it
+    var cuts = 0
+    val seam: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => { cuts += 1; df.localCheckpoint() }
+    val chain = spark.createDataFrame(
+      (1L until 8L).map(i => (i, i + 1))).toDF("doc_a", "doc_b")
+    val (labels, converged, rounds) = Dedup.nearDupClustersStatus(chain, checkpoint = seam)
+    assert(converged && rounds >= 2, s"converged=$converged rounds=$rounds")
+    assert(cuts >= rounds + 2, s"seam must cut edges+init+every round: $cuts vs $rounds")
+    assert(labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      (1L to 8L).map(_ -> 1L).toMap)
+    // a diameter > maxIter component must report NON-convergence by
+    // value, never return partially-merged labels silently (ADVICE r5)
+    val (_, conv2, r2) = Dedup.nearDupClustersStatus(chain, maxIter = 2)
+    assert(!conv2 && r2 == 2, s"conv=$conv2 rounds=$r2")
+  }
+
   test("simhashPairs maxBandBucket: mega-family dropped, honest near-dup kept") {
     val body = (1 to 120).map(i => s"tmpl$i").mkString(" ")
     // identical texts -> identical simhash -> one bucket per band of

@@ -191,6 +191,30 @@ class FontsSpec extends AnyFunSuite {
     val hex4 = fourByte.map(b => f"${b & 0xff}%02X").mkString
     val r6 = PdfExtractor.extract(cmapDoc("GBK2K-H", s"BABA$hex4"), inflater)
     assert(r6.text == "汉☃", r6.text)
+    // byte-wise codespace matching (ADVICE r5 high): a 4-byte code whose
+    // FIRST byte is >= 0x82 packs its first two bytes >= 0x8140, so a
+    // packed-integer comparison would claim it for the 2-byte GBK range
+    // and mis-split it. U+4DB6 = 82 35 87 39 exercises exactly that.
+    val supp = "\u4db6".getBytes("GB18030")
+    assert(supp.length == 4 && (supp(0) & 0xff) >= 0x82, supp.map(b => f"${b & 0xff}%02X").mkString)
+    val hexSupp = supp.map(b => f"${b & 0xff}%02X").mkString
+    val r7 = PdfExtractor.extract(cmapDoc("GBK2K-H", s"BABA${hexSupp}BABA"), inflater)
+    assert(r7.text == "\u6c49\u4db6\u6c49", r7.text)
+  }
+
+  test("CodeSpace.codeLen matches per-byte, not packed-integer (ISO 32000-1 9.7.6.2)") {
+    val gb18030 = Vector((0x00L, 0x80L, 1), (0x8140L, 0xFEFEL, 2),
+      (0x81308130L, 0xFE39FE39L, 4))
+    def len(hex: String) = {
+      val bytes = hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      CodeSpace.codeLen(gb18030, bytes, 0, 1)
+    }
+    assert(len("BABA") == 2)       // plain GBK 2-byte
+    assert(len("8137A330") == 4)   // snowman: first byte 0x81, unambiguous
+    assert(len("82358739") == 4)   // U+4DB6: packed 0x8235 >= 0x8140 but 2nd byte 0x35 < 0x40
+    assert(len("E3329A35") == 4)   // top of supplementary planes (first byte 0xE3)
+    assert(len("8140") == 2)       // 2-byte lower corner
+    assert(len("41") == 1)         // single-byte plane
   }
 
   test("Symbol/ZapfDingbats built-in encodings + Symbol AFM widths") {
@@ -470,6 +494,25 @@ class FontsSpec extends AnyFunSuite {
     }
     assert(found)
     assert(Cff.parse(patched).isEmpty)
+    // predefined Expert charset (offset 1): GID→SID is a fixed Expert
+    // table we do not carry — identity would yield WRONG glyph names,
+    // so the parser must decline, not guess (ADVICE r5 low). Patch the
+    // charset op (15) operand to 1; same for ExpertSubset (2).
+    for (expert <- Seq(1, 2)) {
+      val cff2 = graft.gen.CffBuilder.build(Seq(0x41 -> 'a'.toInt))
+      val p2 = cff2.clone()
+      var j = 0
+      var found2 = false
+      while (j + 5 < p2.length && !found2) {
+        if ((p2(j) & 0xff) == 29 && (p2(j + 5) & 0xff) == 15) {
+          p2(j + 1) = 0; p2(j + 2) = 0; p2(j + 3) = 0; p2(j + 4) = expert.toByte
+          found2 = true
+        }
+        j += 1
+      }
+      assert(found2)
+      assert(Cff.parse(p2).isEmpty)
+    }
   }
 
   test("embedded CMap /W widths are CID-keyed through code->cid") {
