@@ -240,17 +240,25 @@ object SparkEntry {
     // rule-based sentence segmentation, terminator runs planted
     // in-query (fixture text carries none) — r4
     "q17_sentences" -> ((s, dir) => TextAnalysis.sentences(docs(s, dir)).limit(2000)),
-    // URL canonicalization (r5): messy URLs planted deterministically
-    // (fixture has no url column), canonical form = the crawl dedup key
+    // URL canonicalization (r5; deepened r6): messy URLs planted
+    // deterministically (fixture has no url column) now exercise every
+    // rule — percent normalization (%65 decodes, %2f/%7e case-fold +
+    // ~ decodes, %41 decodes), slash-run collapse, trailing-slash
+    // drop, empty path → "/", and scheme-less passthrough
     "q18_url_canon" -> ((s, dir) => {
-      val messy = concat(
-        when(col("doc_id") % 3 === 0, lit("HTTPS://Example.COM:443"))
-          .when(col("doc_id") % 3 === 1, lit("http://WWW.Test.ORG:80"))
-          .otherwise(lit("https://Data.site.IO:8080")),
-        lit("/Path/item"), (col("doc_id") % 7).cast("string"),
-        when(col("doc_id") % 2 === 0, lit("?utm_source=feed&b=2&a=1&gclid=g"))
-          .otherwise(lit("?z=9&utm_medium=email&a=1&")), // trailing & = empty-param edge
-        when(col("doc_id") % 5 === 0, lit("#frag")).otherwise(lit("")))
+      val host = when(col("doc_id") % 3 === 0, lit("HTTPS://Example.COM:443"))
+        .when(col("doc_id") % 3 === 1, lit("http://WWW.Test.ORG:80"))
+        .otherwise(lit("https://Data.site.IO:8080"))
+      val path = when(col("doc_id") % 13 === 0, lit("")) // empty path -> "/"
+        .otherwise(concat(lit("/Path//It%65m"), (col("doc_id") % 7).cast("string"),
+          when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit(""))))
+      val query = when(col("doc_id") % 2 === 0,
+        lit("?utm_source=feed&b=2&a=1&p=%2f%7e&gclid=g"))
+        .otherwise(lit("?z=9&utm_medium=email&a=%41&")) // trailing & = empty-param edge
+      val frag = when(col("doc_id") % 5 === 0, lit("#frag")).otherwise(lit(""))
+      val messy = when(col("doc_id") % 11 === 0,
+        concat(lit("relative/path-"), col("doc_id").cast("string")))
+        .otherwise(concat(host, path, query, frag))
       docs(s, dir).select(col("doc_id"), messy.as("url_raw"),
         Urls.canonicalize(messy).as("url_canon"))
         .orderBy("doc_id").limit(2000)
@@ -378,6 +386,11 @@ object SparkEntry {
       else s"((length($pad) - length(replace($pad, '$s', ''))) / ${s.length})"
     def pw(s: String) = pc(s" $s ")
     val zh = s"len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]'))"
+    // r6 script-decisive classes (kana wins over ideographs for ja)
+    val kana = s"len(regexp_extract_all(text, '[\\x{3040}-\\x{30ff}]'))"
+    val hangul = s"len(regexp_extract_all(text, '[\\x{ac00}-\\x{d7af}]'))"
+    val cyr = s"len(regexp_extract_all(text, '[\\x{0400}-\\x{04ff}]'))"
+    val arab = s"len(regexp_extract_all(text, '[\\x{0600}-\\x{06ff}]'))"
     val de = s"${pc("ß")} * 3 + ${pc("ä")} + ${pc("ö")} + ${pc("ü")} + " +
       s"(${Seq("und", "der", "die", "das", "ist", "nicht", "mit").map(pw).mkString(" + ")}) * 2"
     val fr = s"${Seq("é", "è", "ê", "ç", "ô", "î", "â").map(pc).mkString(" + ")} + " +
@@ -561,7 +574,11 @@ object SparkEntry {
           "FROM bsz GROUP BY band ORDER BY band")
       },
       "q12_langid" ->
-        (s"SELECT doc_id, CASE WHEN ($zh) > 0 THEN 'zh' " +
+        (s"SELECT doc_id, CASE WHEN ($kana) > 0 THEN 'ja' " +
+          s"WHEN ($hangul) > 0 THEN 'ko' " +
+          s"WHEN ($cyr) > 0 THEN 'ru' " +
+          s"WHEN ($arab) > 0 THEN 'ar' " +
+          s"WHEN ($zh) > 0 THEN 'zh' " +
           s"WHEN ($de) >= ($fr) AND ($de) >= ($es) AND ($de) >= ($enS) AND ($de) > 0 THEN 'de' " +
           s"WHEN ($fr) >= ($es) AND ($fr) >= ($enS) AND ($fr) > 0 THEN 'fr' " +
           s"WHEN ($es) >= ($enS) AND ($es) > 0 THEN 'es' ELSE 'en' END AS lang_pred, " +
@@ -599,30 +616,57 @@ object SparkEntry {
           "FROM documents ORDER BY doc_id LIMIT 2000"
       },
       "q18_url_canon" -> {
-        // mirror the planted messy URL + Urls.canonicalize exactly
-        val messy = "(CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://Example.COM:443' " +
+        // mirror the planted messy URL; canonicalization rules are
+        // computed INDEPENDENTLY in SQL (incl. percent normalization
+        // via split-on-% list processing) — a genuine second
+        // implementation of the RFC 3986 rules, not a formula copy
+        val messy = "(CASE WHEN doc_id % 11 = 0 THEN 'relative/path-' || CAST(doc_id AS VARCHAR) " +
+          "ELSE (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://Example.COM:443' " +
           "WHEN doc_id % 3 = 1 THEN 'http://WWW.Test.ORG:80' " +
-          "ELSE 'https://Data.site.IO:8080' END || '/Path/item' || " +
+          "ELSE 'https://Data.site.IO:8080' END || " +
+          "(CASE WHEN doc_id % 13 = 0 THEN '' ELSE '/Path//It%65m' || " +
           "CAST(doc_id % 7 AS VARCHAR) || " +
-          "CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&b=2&a=1&gclid=g' " +
-          "ELSE '?z=9&utm_medium=email&a=1&' END || " +
-          "CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END)"
+          "CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END END) || " +
+          "CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&b=2&a=1&p=%2f%7e&gclid=g' " +
+          "ELSE '?z=9&utm_medium=email&a=%41&' END || " +
+          "CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) END)"
+        // percent-escape normalization of expression e: split on '%',
+        // head passes through, each tail part starting with two hex
+        // digits is decoded (unreserved) or upper-cased (reserved)
+        def code(x: String) =
+          s"((strpos('0123456789abcdef', lower($x[1])) - 1) * 16 + " +
+            s"(strpos('0123456789abcdef', lower($x[2])) - 1))"
+        def pctNorm(e: String) =
+          s"array_to_string(list_concat([string_split($e, '%')[1]], " +
+            s"list_transform(string_split($e, '%')[2:], x -> " +
+            "CASE WHEN regexp_matches(x, '^[0-9A-Fa-f]{2}') THEN " +
+            s"(CASE WHEN ((${code("x")} BETWEEN 65 AND 90) OR (${code("x")} BETWEEN 97 AND 122) " +
+            s"OR (${code("x")} BETWEEN 48 AND 57) OR ${code("x")} IN (45, 46, 95, 126)) " +
+            s"THEN chr(CAST(${code("x")} AS INTEGER)) || substr(x, 3) " +
+            "ELSE '%' || upper(substr(x, 1, 2)) || substr(x, 3) END) " +
+            "ELSE '%' || x END)), '')"
         ("WITH m AS (SELECT doc_id, " + messy + " AS u FROM documents), " +
           "parts AS (SELECT doc_id, u, " +
           "lower(regexp_extract(u, '^([A-Za-z]+)://', 1)) AS scheme, " +
           "lower(regexp_extract(u, '^[A-Za-z]+://([^/?#]+)', 1)) AS rawhost, " +
           "regexp_extract(u, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS rawpath, " +
           "regexp_extract(u, '\\?([^#]*)', 1) AS rawq FROM m), " +
-          "canon AS (SELECT doc_id, u, scheme, " +
+          "norm AS (SELECT doc_id, u, scheme, " +
           "CASE WHEN scheme = 'http' THEN regexp_replace(rawhost, ':80$', '') " +
           "WHEN scheme = 'https' THEN regexp_replace(rawhost, ':443$', '') " +
           "ELSE rawhost END AS host, " +
-          "CASE WHEN length(rawpath) = 0 THEN '/' ELSE rawpath END AS path, " +
-          "array_to_string(list_sort(list_filter(string_split(rawq, '&'), " +
+          "regexp_replace(" +
+          pctNorm("(CASE WHEN length(rawpath) = 0 THEN '/' ELSE rawpath END)") +
+          ", '/{2,}', '/', 'g') AS pathn, " +
+          pctNorm("rawq") + " AS qn FROM parts), " +
+          "canon AS (SELECT doc_id, u, scheme, host, " +
+          "CASE WHEN pathn = '/' THEN '/' ELSE regexp_replace(pathn, '/$', '') END AS path, " +
+          "array_to_string(list_sort(list_filter(string_split(qn, '&'), " +
           "t -> len(t) > 0 AND NOT regexp_matches(t, '^(utm_|fbclid|gclid)'))), '&') AS kept " +
-          "FROM parts) " +
-          "SELECT doc_id, u AS url_raw, scheme || '://' || host || path || " +
-          "CASE WHEN length(kept) = 0 THEN '' ELSE '?' || kept END AS url_canon " +
+          "FROM norm) " +
+          "SELECT doc_id, u AS url_raw, " +
+          "CASE WHEN length(scheme) = 0 THEN u ELSE scheme || '://' || host || path || " +
+          "CASE WHEN length(kept) = 0 THEN '' ELSE '?' || kept END END AS url_canon " +
           "FROM canon ORDER BY doc_id LIMIT 2000")
       },
       "q19_bpe_tokens" -> {

@@ -54,3 +54,160 @@ case class NfcNormalize(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
     copy(child = newChild)
 }
+
+/** Language-ID scorer as a codegen'd Catalyst expression (r6).
+  *
+  * Same formula as `TextAnalysis.langIdColFormula` (the DuckDB-oracled
+  * Catalyst/SQL mirror), but computed by one static single-pass scorer:
+  * the composable formulation expands to hundreds of nested
+  * `length(replace(...))` calls whose generated Java overflows janino's
+  * 64 KB method limit — Spark logged "Whole-stage codegen disabled" and
+  * fell back to interpreted eval for the whole projection. At crawl
+  * scale langid runs per-document on the hot path; this expression is
+  * one tight method call that stays inside WholeStageCodegen.
+  * Equivalence with the portable formula is asserted in
+  * TextAnalysisSpec on real sentences in all nine languages.
+  */
+case class LangId(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = GraftFunctions.LangIdName
+
+  override protected def nullSafeEval(input: Any): Any =
+    LangIdImpl.detect(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      x => s"${ev.value} = graft.functions.LangIdImpl.detect($x);")
+
+  override protected def withNewChildInternal(newChild: Expression): LangId =
+    copy(child = newChild)
+}
+
+/** URL percent-encoding normalization as a codegen'd expression (r6;
+  * RFC 3986 §2.3/§6.2.2.1-2): hex digits of every percent escape are
+  * uppercased, and escapes of UNRESERVED characters (ALPHA / DIGIT /
+  * "-" / "." / "_" / "~") are decoded to the literal character —
+  * `%7e` ≡ `~`, `%41` ≡ `A` name one resource but would dedup as two
+  * keys raw. Escapes of reserved characters (`%2F`, `%3D`, …) are NOT
+  * decoded (decoding would change URL structure), only case-folded. A
+  * `%` not followed by two hex digits is copied through verbatim.
+  * Applied by `Urls.canonicalize` to path and query; the q18 DuckDB
+  * oracle computes the same rules independently with list/string SQL.
+  */
+case class PercentNormalize(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = GraftFunctions.PctNormName
+
+  override protected def nullSafeEval(input: Any): Any =
+    PercentNormalizeImpl.normalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      x => s"${ev.value} = graft.functions.PercentNormalizeImpl.normalize($x);")
+
+  override protected def withNewChildInternal(newChild: Expression): PercentNormalize =
+    copy(child = newChild)
+}
+
+object PercentNormalizeImpl {
+
+  private def hexVal(c: Char): Int =
+    if (c >= '0' && c <= '9') c - '0'
+    else if (c >= 'a' && c <= 'f') c - 'a' + 10
+    else if (c >= 'A' && c <= 'F') c - 'A' + 10
+    else -1
+
+  private def unreserved(v: Int): Boolean =
+    (v >= 'A' && v <= 'Z') || (v >= 'a' && v <= 'z') ||
+      (v >= '0' && v <= '9') || v == '-' || v == '.' || v == '_' || v == '~'
+
+  def normalize(u: UTF8String): UTF8String = {
+    val s = u.toString
+    if (s.indexOf('%') < 0) return u // common case: no escapes, no alloc
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val h1 = hexVal(s.charAt(i + 1))
+        val h2 = hexVal(s.charAt(i + 2))
+        if (h1 >= 0 && h2 >= 0) {
+          val v = h1 * 16 + h2
+          if (unreserved(v)) out.append(v.toChar)
+          else {
+            out.append('%')
+            out.append(java.lang.Character.toUpperCase(s.charAt(i + 1)))
+            out.append(java.lang.Character.toUpperCase(s.charAt(i + 2)))
+          }
+          i += 3
+        } else { out.append(c); i += 1 }
+      } else { out.append(c); i += 1 }
+    }
+    UTF8String.fromString(out.toString)
+  }
+}
+
+/** The langid scorer body — static so generated code calls it directly.
+  *
+  * MUST stay formula-identical to `TextAnalysis.langIdColFormula` (and
+  * the q12 DuckDB oracle SQL): script-class counts are per-BMP-char
+  * range counts; Latin evidence counts non-overlapping occurrences on
+  * the space-padded lowercase text exactly like
+  * `(length(p) - length(replace(p, s, ''))) / length(s)`.
+  */
+object LangIdImpl {
+
+  private def count(p: String, s: String): Long = {
+    var n = 0L
+    var i = p.indexOf(s)
+    while (i >= 0) { n += 1; i = p.indexOf(s, i + s.length) }
+    n
+  }
+
+  private def word(p: String, s: String): Long = count(p, " " + s + " ")
+
+  def detect(u: UTF8String): UTF8String = {
+    val text = u.toString
+    // script-decisive classes, one pass over the chars
+    var kana, hangul, cyr, arab, cjk = 0L
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c >= '\u3040' && c <= '\u30ff') kana += 1
+      else if (c >= '\uac00' && c <= '\ud7af') hangul += 1
+      else if (c >= '\u0400' && c <= '\u04ff') cyr += 1
+      else if (c >= '\u0600' && c <= '\u06ff') arab += 1
+      else if (c >= '\u4e00' && c <= '\u9fff') cjk += 1
+      i += 1
+    }
+    // kana wins over ideographs (ja text mixes both); hangul/cyrillic/
+    // arabic are unambiguous scripts
+    if (kana > 0) return UTF8String.fromString("ja")
+    if (hangul > 0) return UTF8String.fromString("ko")
+    if (cyr > 0) return UTF8String.fromString("ru")
+    if (arab > 0) return UTF8String.fromString("ar")
+    if (cjk > 0) return UTF8String.fromString("zh")
+    val p = " " + text.toLowerCase + " "
+    def c(s: String) = count(p, s)
+    def w(s: String) = word(p, s)
+    val de = c("\u00df") * 3 + c("\u00e4") + c("\u00f6") + c("\u00fc") +
+      (w("und") + w("der") + w("die") + w("das") + w("ist") + w("nicht") + w("mit")) * 2
+    val fr = c("\u00e9") + c("\u00e8") + c("\u00ea") + c("\u00e7") + c("\u00f4") + c("\u00ee") + c("\u00e2") +
+      (w("le") + w("la") + w("les") + w("et") + w("des") + w("est") + w("dans")) * 2
+    val es = (c("\u00f1") + c("\u00bf") + c("\u00a1")) * 3 + c("\u00e1") + c("\u00ed") + c("\u00f3") + c("\u00fa") +
+      (w("el") + w("los") + w("las") + w("que") + w("por") + w("con") + w("una")) * 2
+    val en = (w("the") + w("and") + w("of") + w("to") + w("is") + w("in") + w("that")) * 2
+    val out =
+      if (de >= fr && de >= es && de >= en && de > 0) "de"
+      else if (fr >= es && fr >= en && fr > 0) "fr"
+      else if (es >= en && es > 0) "es"
+      else "en"
+    UTF8String.fromString(out)
+  }
+}

@@ -200,11 +200,21 @@ object GraftFunctions {
   val DotName = "graft_fvdot"
   val LshName = "graft_fvlsh"
   val NfcName = "graft_nfc"
+  val LangIdName = "graft_langid"
+  val PctNormName = "graft_pctnorm"
   import org.apache.spark.sql.graft.ColumnBridge
 
   /** Codegen'd Unicode NFC normalization as a Column. */
   def nfc(s: Column): Column =
     ColumnBridge.column(NfcNormalize(ColumnBridge.expression(s)))
+
+  /** Codegen'd single-pass language-ID scorer as a Column. */
+  def langid(s: Column): Column =
+    ColumnBridge.column(LangId(ColumnBridge.expression(s)))
+
+  /** Codegen'd URL percent-encoding normalization as a Column. */
+  def pctNorm(s: Column): Column =
+    ColumnBridge.column(PercentNormalize(ColumnBridge.expression(s)))
 
   /** Codegen'd float-vector dot product as a Column. */
   def fvdot(a: Column, b: Column): Column =

@@ -29,26 +29,45 @@ object TextAnalysis {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).cast("long")
 
-  /** Language-ID scorer (en/de/fr/es/zh): per-language evidence from
-    * (a) the FULL CJK ideograph class (any char in U+4E00..U+9FFF, not
-    * a fixed char list), (b) language-characteristic letter classes
+  /** Language-ID scorer (en/de/fr/es + script-detectable zh/ja/ko/ru/ar,
+    * r6): per-language evidence from (a) script classes — kana ⇒ ja
+    * (decisive even with ideographs present, real ja text mixes both),
+    * hangul ⇒ ko, cyrillic ⇒ ru, arabic ⇒ ar, then the FULL CJK
+    * ideograph class ⇒ zh; (b) language-characteristic letter classes
     * (ß/umlauts; French circumflexes/cedilla; ñ and inverted
-    * punctuation), and (c) high-frequency function words at word
-    * boundaries — the same evidence classes a real char-n-gram
-    * identifier weights highest. Argmax with a deterministic tie order,
-    * "en" default. Portable arithmetic end-to-end (length/replace +
-    * one regex class), so the DuckDB oracle mirrors it exactly (r5:
-    * replaces the fixture-tuned marker list, VERDICT r4 "wrong" #3;
-    * accuracy on real sample sentences is asserted in
-    * TextAnalysisSpec).
+    * punctuation); and (c) high-frequency function words at word
+    * boundaries. Argmax with a deterministic tie order, "en" default.
+    *
+    * This production column is the codegen'd single-pass `LangId`
+    * expression (the composable formula's generated code overflowed
+    * janino's 64 KB method limit and knocked the whole projection out
+    * of WholeStageCodegen). `langIdColFormula` is the bit-equivalent
+    * portable formulation the DuckDB q12 oracle mirrors; equivalence is
+    * asserted in TextAnalysisSpec on real sentences in all nine
+    * languages.
     */
-  def langIdCol(text: Column): Column = {
+  def langIdCol(text: Column): Column =
+    graft.functions.GraftFunctions.langid(text)
+
+  /** Portable Catalyst formulation of the SAME scorer (length/replace
+    * arithmetic + per-class regex counts) — exists so the formula is
+    * expressible in ANSI SQL for the independent DuckDB oracle and as
+    * the equivalence twin for the codegen'd expression.
+    */
+  def langIdColFormula(text: Column): Column = {
     // pad + lowercase so boundary-anchored function words match at
     // string edges and after sentence case
     val p = concat(lit(" "), lower(text), lit(" "))
     def c(s: String) = countOf(p, s)
     def w(s: String) = countOf(p, s" $s ")
-    val zh = size(regexp_extract_all(text, lit("[\\x{4e00}-\\x{9fff}]"), lit(0))).cast("long")
+    def cls(lo: Char, hi: Char) =
+      size(regexp_extract_all(text,
+        lit(f"[\\x{${lo.toInt}%04x}-\\x{${hi.toInt}%04x}]"), lit(0))).cast("long")
+    val kana = cls('\u3040', '\u30ff')
+    val hangul = cls('\uac00', '\ud7af')
+    val cyr = cls('\u0400', '\u04ff')
+    val arab = cls('\u0600', '\u06ff')
+    val zh = cls('\u4e00', '\u9fff')
     val de = c("ß") * 3 + c("ä") + c("ö") + c("ü") +
       (w("und") + w("der") + w("die") + w("das") + w("ist") + w("nicht") + w("mit")) * 2
     val fr = c("é") + c("è") + c("ê") + c("ç") + c("ô") + c("î") + c("â") +
@@ -56,7 +75,11 @@ object TextAnalysis {
     val es = (c("ñ") + c("¿") + c("¡")) * 3 + c("á") + c("í") + c("ó") + c("ú") +
       (w("el") + w("los") + w("las") + w("que") + w("por") + w("con") + w("una")) * 2
     val en = (w("the") + w("and") + w("of") + w("to") + w("is") + w("in") + w("that")) * 2
-    when(zh > lit(0L), "zh")
+    when(kana > lit(0L), "ja")
+      .when(hangul > lit(0L), "ko")
+      .when(cyr > lit(0L), "ru")
+      .when(arab > lit(0L), "ar")
+      .when(zh > lit(0L), "zh")
       .when(de >= fr && de >= es && de >= en && de > lit(0L), "de")
       .when(fr >= es && fr >= en && fr > lit(0L), "fr")
       .when(es >= en && es > lit(0L), "es")

@@ -21,7 +21,7 @@ class TextAnalysisSpec extends AnyFunSuite {
     s
   }
 
-  test("langIdCol identifies real sentences in all five corpus languages") {
+  test("langIdCol identifies real sentences in all nine supported languages") {
     import scala.jdk.CollectionConverters._
     val samples = Seq(
       // en: function words, zero accents
@@ -38,7 +38,19 @@ class TextAnalysisSpec extends AnyFunSuite {
       ("es", "¿Por qué los turistas visitan el museo con una guía en español?"),
       // zh: any CJK chars, no spaces
       ("zh", "这个系统可以处理大量的文件并且速度很快"),
-      ("zh", "语言识别模型在真实文本上表现良好"))
+      ("zh", "语言识别模型在真实文本上表现良好"),
+      // ja: kana decides even though ideographs are mixed in (r6)
+      ("ja", "東京では桜の花がとてもきれいに咲いています"),
+      ("ja", "このシステムは大量のファイルを高速に処理できます"),
+      // ko: hangul syllables (r6)
+      ("ko", "이 시스템은 많은 파일을 빠르게 처리할 수 있습니다"),
+      ("ko", "서울의 봄은 꽃이 아름답게 핍니다"),
+      // ru: cyrillic (r6)
+      ("ru", "Эта система может быстро обрабатывать большое количество файлов"),
+      ("ru", "Весной в парке очень красиво цветут деревья"),
+      // ar: arabic script (r6)
+      ("ar", "يمكن لهذا النظام معالجة عدد كبير من الملفات بسرعة"),
+      ("ar", "الربيع جميل جدا في الحديقة هذا العام"))
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
@@ -50,6 +62,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     got.foreach { case (want, pred) =>
       assert(pred == want, s"expected $want got $pred")
     }
+  }
+
+  test("codegen'd LangId expression == portable formula on all samples") {
+    import scala.jdk.CollectionConverters._
+    val rows = Seq(
+      "", "xq zv 1234", "lorem ipsum dolor",
+      "The committee said that the report is due in the spring.",
+      "Die Regierung hat nicht gesagt, ob der Vertrag gültig ist.",
+      "Le gouvernement a annoncé que les écoles seront fermées.",
+      "¿Por qué los turistas visitan el museo con una guía?",
+      "这个系统可以处理大量的文件并且速度很快",
+      "東京では桜の花がとてもきれいに咲いています",
+      "이 시스템은 많은 파일을 빠르게 처리할 수 있습니다",
+      "Эта система может быстро обрабатывать файлы",
+      "يمكن لهذا النظام معالجة عدد كبير من الملفات",
+      // mixed-script edges: kana beats ideographs; und und overlap
+      "日本語 テスト", "und und und", " der die das ")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val df = spark.createDataFrame(rows.map(org.apache.spark.sql.Row(_)).asJava, schema)
+    val diff = df.select(
+      TextAnalysis.langIdCol(org.apache.spark.sql.functions.col("text")).as("fast"),
+      TextAnalysis.langIdColFormula(org.apache.spark.sql.functions.col("text")).as("slow"),
+      org.apache.spark.sql.functions.col("text"))
+      .collect().filter(r => r.getString(0) != r.getString(1))
+    assert(diff.isEmpty, diff.map(r => s"'${r.getString(2)}': ${r.getString(0)} vs ${r.getString(1)}").mkString("; "))
   }
 
   test("langIdCol defaults to en on empty/um-markered text") {
