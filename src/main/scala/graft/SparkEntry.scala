@@ -132,6 +132,30 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // composed LLM-pipeline flagship (r6; VERDICT r5 "next" #1): the
+    // full chain extract → URL-canonicalize → exact dedup → near-dup
+    // cluster → kept set over REAL extraction output, with crawl-style
+    // republications planted deterministically so every stage
+    // demonstrably fires (tracking-param re-crawl → canon collapse;
+    // mirrored copy → exact collapse; appended-boilerplate variant →
+    // near-dup collapse). Emits the per-stage count table; exact
+    // cross-stage values are gated in CorpusPipelineSpec.
+    "x7_dedup_pipeline" -> ((s, _) => {
+      val ext = extractSmall(s).filter(col("error").isNull)
+        .select(col("url"), col("text"))
+      def slice(m: Int) = ext.filter(pmod(xxhash64(col("url")), lit(m)) === 0)
+      val canonDup = slice(17).select(
+        concat(col("url"), lit("?utm_source=rss&fbclid=x")).as("url"), col("text"))
+      val exactDup = slice(19).select(
+        concat(col("url"), lit(".mirror")).as("url"), col("text"))
+      val nearDup = slice(23).select(
+        concat(col("url"), lit("~amp")).as("url"),
+        concat(col("text"), lit(" via mobile reader")).as("text"))
+      val res = graft.job.CorpusPipeline.run(
+        ext.unionByName(canonDup).unionByName(exactDup).unionByName(nearDup))
+      res.stages.orderBy("stage")
+    }),
+
     // error taxonomy: every defect class must surface as a countable,
     // distinctly-tagged error row (100 TB observability; SURVEY §2.7)
     "x6_error_taxonomy" -> ((s, _) => {

@@ -1,0 +1,87 @@
+package graft.job
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Urls}
+
+/** The composed LLM-training-data flagship (VERDICT r5 "next" #1):
+  * extraction output → URL canonicalization → exact text dedup →
+  * near-dup LSH clustering → kept-document set, with per-stage counts.
+  *
+  * A 100 TB crawl user runs this CHAIN, not the stages in isolation —
+  * and composition is exactly where partitioning and lineage mistakes
+  * hide (the d9 lazy-cache lesson: an iterative stage whose input plan
+  * re-embeds three upstream stages re-executes them every round).
+  * Hence the same `checkpoint` seam as `nearDupClusters`: every stage
+  * boundary is materialized once; stage counts are scalar actions over
+  * the materialized frames (no data to the driver). Cluster callers
+  * inject reliable `_.checkpoint()`.
+  *
+  * Scale shape: each stage is one hash-aggregate or equi-join on a
+  * key — `min_by` aggregates pick the canonical row without any window
+  * exchange; the LSH stage carries `maxBandBucket` skew caps; the
+  * final anti-join shuffles on url (AQE decides the strategy from the
+  * loser side's runtime size).
+  */
+object CorpusPipeline {
+
+  /** kept: one row per retained (url, text); stages: (stage, n_rows)
+    * counts in pipeline order, a queryable no-silent-drop record.
+    */
+  final case class Result(kept: DataFrame, stages: DataFrame)
+
+  /** `extracted` needs columns (url: string, text: string); rows with
+    * NULL text (failed extractions) are dropped as stage 0.
+    */
+  def run(extracted: DataFrame,
+          k: Int = 5, numHashes: Int = 32, bands: Int = 8,
+          minEstJaccard: Double = 0.5,
+          maxBandBucket: Int = Dedup.DefaultMaxBandBucket,
+          maxIter: Int = 10,
+          checkpoint: DataFrame => DataFrame = _.localCheckpoint()): Result = {
+    val spark = extracted.sparkSession
+
+    val input = checkpoint(
+      extracted.select(col("url"), col("text")).filter(col("text").isNotNull))
+
+    // one row per canonical URL (tracking params / case / ports / %enc
+    // collapse); min_by picks the lexicographically-first raw url as
+    // the canonical carrier — a hash-agg, not a window
+    val byUrl = checkpoint(
+      input.groupBy(Urls.canonicalize(col("url")).as("url_canon"))
+        .agg(min_by(struct(col("url"), col("text")), col("url")).as("r"))
+        .select(col("r.url").as("url"), col("r.text").as("text")))
+
+    // exact content dedup on the text digest
+    val byText = checkpoint(
+      byUrl.groupBy(md5(col("text")).as("content_hash"))
+        .agg(min_by(struct(col("url"), col("text")), col("url")).as("r"))
+        .select(col("r.url").as("url"), col("r.text").as("text")))
+
+    // near-dup families: LSH candidate pairs → connected components;
+    // every non-canonical member is dropped (cluster_id = min url)
+    val pairs = Dedup.minhashPairs(
+      byText.select(col("url").as("doc_id"), col("text")),
+      k, numHashes, bands, minEstJaccard, maxBandBucket)
+    val labels = Dedup.nearDupClusters(pairs, maxIter, checkpoint)
+    val losers = labels.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("url"))
+    val kept = checkpoint(byText.join(losers, Seq("url"), "left_anti"))
+
+    // four scalar counts over materialized frames — bounded driver data
+    val counts = Seq(
+      ("1_input", input.count()),
+      ("2_url_canon_dedup", byUrl.count()),
+      ("3_exact_dedup", byText.count()),
+      ("4_neardup_kept", kept.count()))
+    import scala.jdk.CollectionConverters._
+    val stages = spark.createDataFrame(
+      counts.map { case (n, c) => org.apache.spark.sql.Row(n, c) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("stage",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_rows",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    Result(kept, stages)
+  }
+}

@@ -1,0 +1,64 @@
+package graft.job
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+/** E2E gate for the composed flagship (extract → canonicalize → exact
+  * dedup → near-dup cluster): planted cross-stage duplicates that ONLY
+  * the composed chain collapses — a tracking-param re-crawl (stage 2),
+  * a mirrored exact copy under a different canonical URL (stage 3),
+  * and a chained near-dup family where pair output alone cannot pick
+  * one canonical document (stage 4 clustering).
+  */
+class CorpusPipelineSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  test("composed chain: each stage collapses exactly its planted duplicates") {
+    import scala.jdk.CollectionConverters._
+    def base(tag: String) = (1 to 40).map(i => s"$tag$i").mkString(" ")
+    val tB = s"mirrored article body ${base("brr")} with a stable ending"
+    val rows = Seq(
+      // A + its tracking-param re-crawl: same canonical URL
+      ("https://a.com/x", s"doc a ${base("apple")} original"),
+      ("https://a.com/x?utm_source=rss&fbclid=k", s"doc a ${base("apple")} original changed-but-loses"),
+      // B mirrored byte-identical under a different canonical URL
+      ("https://b.com/1", tB),
+      ("https://b.com/2-mirror", tB),
+      // C chained near-dup family (c1~c2, c2~c3 share the base)
+      ("https://c.com/v1", s"family story ${base("casa")}"),
+      ("https://c.com/v2", s"family story ${base("casa")} plus one extra sentence here"),
+      ("https://c.com/v3", s"family story ${base("casa")} plus two extra sentences here now"),
+      // D unrelated survivor + a failed extraction (NULL text)
+      ("https://d.com/solo", "a completely different short document about nothing else"),
+      ("https://e.com/fail", null))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("url", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val df = spark.createDataFrame(
+      rows.map(r => org.apache.spark.sql.Row(r._1, r._2)).asJava, schema)
+
+    val res = CorpusPipeline.run(df)
+    val stages = res.stages.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stages("1_input") == 8L, stages.toString)           // NULL text dropped
+    assert(stages("2_url_canon_dedup") == 7L, stages.toString) // utm re-crawl gone
+    assert(stages("3_exact_dedup") == 6L, stages.toString)     // mirror gone
+    assert(stages("4_neardup_kept") == 4L, stages.toString)    // c2+c3 gone
+
+    val kept = res.kept.collect().map(_.getString(0)).toSet
+    assert(kept == Set("https://a.com/x", "https://b.com/1",
+      "https://c.com/v1", "https://d.com/solo"), kept.toString)
+    // the canonical carrier kept A's ORIGINAL text (min url wins)
+    val keptA = res.kept.filter(org.apache.spark.sql.functions.col("url") === "https://a.com/x")
+      .collect().head.getString(1)
+    assert(keptA.endsWith("original"), keptA)
+  }
+}
