@@ -95,4 +95,22 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("s1_ann_brute")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("x7: composed pipeline plans no cartesian/window/cached branch (r6)") {
+    import org.apache.spark.sql.functions._
+    // identity checkpoint seam keeps the WHOLE composed lineage visible
+    // — the audit sees extraction-input scan through the final
+    // anti-join as one plan instead of checkpoint-truncated stumps
+    val docs = spark.range(0, 30).select(
+      concat(lit("https://h.io/p"), col("id")).as("url"),
+      concat(lit("text body shared prefix words here count "), col("id")).as("text"))
+    val res = graft.job.CorpusPipeline.run(docs, checkpoint = df => df)
+    val p = res.kept.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("InMemoryTableScan"), p)
+    // canonical-row picks are min_by hash aggregates, not windows
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p)
+  }
 }
