@@ -115,6 +115,55 @@ case class PercentNormalize(child: Expression)
     copy(child = newChild)
 }
 
+/** IDN host normalization as a codegen'd expression (r6; RFC 3490 /
+  * 5890): internationalized hostnames convert to their punycode ASCII
+  * compatible encoding (`bücher.example` ≡ `xn--bcher-kva.example` ≡
+  * `B%C3%BCcher.example` after percent-decoding — three spellings of
+  * one authority that would dedup as three keys raw). ASCII hosts pass
+  * through untouched (the overwhelmingly common case: one scan, no
+  * allocation); conversion failures (malformed labels) keep the input
+  * verbatim — canonicalization must never lose a row. The q18 oracle
+  * cannot express punycode in SQL, so planted q18 hosts stay ASCII
+  * (where this is the identity) and the IDN rule is value-gated in
+  * UrlsSpec instead.
+  */
+case class IdnAscii(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = GraftFunctions.IdnName
+
+  override protected def nullSafeEval(input: Any): Any =
+    IdnAsciiImpl.toAscii(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      x => s"${ev.value} = graft.functions.IdnAsciiImpl.toAscii($x);")
+
+  override protected def withNewChildInternal(newChild: Expression): IdnAscii =
+    copy(child = newChild)
+}
+
+object IdnAsciiImpl {
+
+  def toAscii(u: UTF8String): UTF8String = {
+    // fast path: pure-ASCII host is already its own ACE form
+    val n = u.numBytes()
+    var i = 0
+    var ascii = true
+    while (ascii && i < n) { if ((u.getByte(i) & 0x80) != 0) ascii = false; i += 1 }
+    if (ascii) return u
+    try {
+      // ALLOW_UNASSIGNED: crawl hosts include post-2003 codepoints
+      val ace = java.net.IDN.toASCII(u.toString, java.net.IDN.ALLOW_UNASSIGNED)
+      UTF8String.fromString(ace.toLowerCase(java.util.Locale.ROOT))
+    } catch {
+      case _: IllegalArgumentException => u // malformed label: keep verbatim
+    }
+  }
+}
+
 object PercentNormalizeImpl {
 
   private def hexVal(c: Char): Int =

@@ -202,6 +202,7 @@ object GraftFunctions {
   val NfcName = "graft_nfc"
   val LangIdName = "graft_langid"
   val PctNormName = "graft_pctnorm"
+  val IdnName = "graft_idn"
   import org.apache.spark.sql.graft.ColumnBridge
 
   /** Codegen'd Unicode NFC normalization as a Column. */
@@ -215,6 +216,10 @@ object GraftFunctions {
   /** Codegen'd URL percent-encoding normalization as a Column. */
   def pctNorm(s: Column): Column =
     ColumnBridge.column(PercentNormalize(ColumnBridge.expression(s)))
+
+  /** Codegen'd IDN→punycode host normalization as a Column. */
+  def idnAscii(s: Column): Column =
+    ColumnBridge.column(IdnAscii(ColumnBridge.expression(s)))
 
   /** Codegen'd float-vector dot product as a Column. */
   def fvdot(a: Column, b: Column): Column =

@@ -20,7 +20,12 @@ object Urls {
     *     malformed string onto one constant key would collapse distinct
     *     crawl entries into a single exact-dedup group (ADVICE r5 low);
     *  2. lowercase scheme + host, default port stripped (:80 http,
-    *     :443 https);
+    *     :443 https), internationalized hostnames folded to their
+    *     punycode ACE form (RFC 3490; `bücher.example` ≡
+    *     `xn--bcher-kva.example`). `www.` is deliberately NOT folded:
+    *     www and apex are distinct authorities that can serve distinct
+    *     content, so folding would merge genuinely different documents
+    *     — a policy decision, recorded here;
     *  3. percent-encoding normalized in path and query (RFC 3986
     *     §6.2.2: uppercase hex, unreserved escapes decoded) — cannot
     *     introduce '/', '&' or '=' since those are reserved, so it
@@ -33,9 +38,10 @@ object Urls {
   def canonicalize(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
     val rawHost = lower(regexp_extract(url, "^[A-Za-z]+://([^/?#]+)", 1))
-    val host = when(scheme === "http", regexp_replace(rawHost, ":80$", ""))
-      .when(scheme === "https", regexp_replace(rawHost, ":443$", ""))
-      .otherwise(rawHost)
+    val host = GraftFunctions.idnAscii(
+      when(scheme === "http", regexp_replace(rawHost, ":80$", ""))
+        .when(scheme === "https", regexp_replace(rawHost, ":443$", ""))
+        .otherwise(rawHost))
     val rawPath = regexp_extract(url, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
     val pathNorm = regexp_replace(
       GraftFunctions.pctNorm(when(length(rawPath) === 0, "/").otherwise(rawPath)),

@@ -56,7 +56,15 @@ class UrlsSpec extends AnyFunSuite {
       // r6: scheme-less input passes through unchanged — distinct
       // malformed URLs must NOT collapse to one dedup key
       ("relative/path-7", "relative/path-7"),
-      ("not a url at all", "not a url at all"))
+      ("not a url at all", "not a url at all"),
+      // r6: IDN hosts fold to punycode ACE (xn--bcher-kva is the RFC
+      // 3492 spelling of bücher); ASCII hosts untouched
+      ("https://bücher.example/a", "https://xn--bcher-kva.example/a"),
+      ("https://BÜCHER.example:443/a", "https://xn--bcher-kva.example/a"),
+      // non-default port survives label conversion (the :8080 rides in
+      // the final ASCII label and IDN passes it through)
+      ("http://日本語.jp:8080/x",
+        "http://" + java.net.IDN.toASCII("日本語.jp").toLowerCase + ":8080/x"))
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("url", org.apache.spark.sql.types.StringType)))
     val df = spark.createDataFrame(
