@@ -141,8 +141,12 @@ object SparkEntry {
     // near-dup collapse). Emits the per-stage count table; exact
     // cross-stage values are gated in CorpusPipelineSpec.
     "x7_dedup_pipeline" -> ((s, _) => {
+      // materialize extraction ONCE: the plant slices below are three
+      // more consumers of this plan, and without the cut each union
+      // branch re-runs the whole extraction (the d9 lineage lesson)
       val ext = extractSmall(s).filter(col("error").isNull)
         .select(col("url"), col("text"))
+        .localCheckpoint()
       def slice(m: Int) = ext.filter(pmod(xxhash64(col("url")), lit(m)) === 0)
       val canonDup = slice(17).select(
         concat(col("url"), lit("?utm_source=rss&fbclid=x")).as("url"), col("text"))

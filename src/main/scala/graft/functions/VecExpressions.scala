@@ -221,6 +221,14 @@ object GraftFunctions {
   def idnAscii(s: Column): Column =
     ColumnBridge.column(IdnAscii(ColumnBridge.expression(s)))
 
+  /** Codegen'd single-pass distinct character k-shingles as a Column. */
+  def charShingles(s: Column, k: Int): Column =
+    ColumnBridge.column(CharShingles(ColumnBridge.expression(s), k))
+
+  /** Codegen'd single-pass distinct word n-grams as a Column. */
+  def wordGrams(s: Column, n: Int): Column =
+    ColumnBridge.column(WordGrams(ColumnBridge.expression(s), n))
+
   /** Codegen'd float-vector dot product as a Column. */
   def fvdot(a: Column, b: Column): Column =
     ColumnBridge.column(FloatVecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))

@@ -58,18 +58,34 @@ object Dedup {
       .filter(col("n_dups") > 1)
       .orderBy(col("content_hash"))
 
-  /** Character k-shingles of `text` as an array column (distinct). */
+  /** Character k-shingles of `text` as an array column (distinct).
+    *
+    * Semantics = `array_distinct(transform(sequence(0, greatest(len-k,
+    * 0)), i -> substring(text, 1+i, k)))` — the formula the DuckDB
+    * oracles mirror — but computed by the single-pass `CharShingles`
+    * expression: the HOF formulation re-evaluates `substring` (an
+    * O(position) UTF-8 scan) per shingle, i.e. O(len²) per document
+    * (r6; ShingleExpressions.scala). Equivalence is asserted in
+    * DedupSpec.
+    */
   def shingles(text: Column, k: Int): Column =
-    array_distinct(transform(
-      sequence(lit(0), greatest(length(text) - k, lit(0))),
-      i => substring(text, lit(1) + i, lit(k))))
+    graft.functions.GraftFunctions.charShingles(text, k)
 
   /** MinHash signatures: H independent permutations approximated by
     * seeded xxhash64; one hash-aggregate computes all H minima.
+    *
+    * `wordGrams = false` (default) shingles CHARACTERS — fine-grained,
+    * right for the short-document fixtures and the DuckDB-oracled
+    * twins. `wordGrams = true` uses word k-grams instead: a document of
+    * W words explodes to ~W gram rows versus ~(bytes) char-shingle rows
+    * — an order of magnitude fewer rows on real extracted web text
+    * (tens of KB/doc), which is the standard crawl-scale minhash unit
+    * and the shape `CorpusPipeline` runs at 100 TB.
     */
-  def minhash(docs: DataFrame, k: Int = 5, numHashes: Int = 32): DataFrame = {
-    val exploded = docs
-      .select(col("doc_id"), explode(shingles(col("text"), k)).as("shingle"))
+  def minhash(docs: DataFrame, k: Int = 5, numHashes: Int = 32,
+              wordGrams: Boolean = false): DataFrame = {
+    val grams = if (wordGrams) ngramCol(col("text"), k) else shingles(col("text"), k)
+    val exploded = docs.select(col("doc_id"), explode(grams).as("shingle"))
     val aggs = (0 until numHashes).map(h =>
       min(xxhash64(col("shingle"), lit(h))).as(s"mh_$h"))
     exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
@@ -87,9 +103,10 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, k: Int = 5, numHashes: Int = 32,
                    bands: Int = 8, minEstJaccard: Double = 0.5,
-                   maxBandBucket: Int = DefaultMaxBandBucket): DataFrame = {
+                   maxBandBucket: Int = DefaultMaxBandBucket,
+                   wordGrams: Boolean = false): DataFrame = {
     val buckets = capBandBuckets(
-      minhashBuckets(docs, k, numHashes, bands), maxBandBucket)
+      minhashBuckets(docs, k, numHashes, bands, wordGrams), maxBandBucket)
     // fraction of matching minhashes ≈ Jaccard (Broder '97)
     val est = aggregate(
       zip_with(col("a.sig_arr"), col("b.sig_arr"),
@@ -111,8 +128,8 @@ object Dedup {
     * `minhashBandStats`.
     */
   private def minhashBuckets(docs: DataFrame, k: Int, numHashes: Int,
-                             bands: Int): DataFrame = {
-    val sigs = minhash(docs, k, numHashes)
+                             bands: Int, wordGrams: Boolean = false): DataFrame = {
+    val sigs = minhash(docs, k, numHashes, wordGrams)
     val sigArr = array((0 until numHashes).map(h => col(s"mh_$h")): _*)
     val rows = numHashes / bands
     val bandCols = (0 until bands).map { b =>
@@ -338,14 +355,17 @@ object Dedup {
   }
 
   /** Distinct word n-grams as an array column. Empty tokens from
-    * leading/trailing whitespace are dropped (Spark's split keeps them
-    * — limit = -1 — unlike plain Java split), so gram sets are
+    * leading/trailing whitespace are dropped, so gram sets are
     * whitespace-padding-invariant and match the DuckDB oracle.
+    *
+    * Semantics = `array_distinct(transform(sequence(0,
+    * greatest(size(words)-n, 0)), i -> concat_ws(" ", slice(words,
+    * i+1, n))))` over `words = filter(split(text, "\\s+"), _ != "")`,
+    * but computed by the single-pass `WordGrams` expression — the HOF
+    * form re-ran the whole split+filter for EVERY gram index
+    * (quadratic per document, r6; ShingleExpressions.scala).
+    * Equivalence is asserted in DedupSpec.
     */
-  def ngramCol(text: Column, n: Int): Column = {
-    val words = filter(split(text, "\\s+"), w => length(w) > 0)
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(words) - n, lit(0))),
-      i => concat_ws(" ", slice(words, i + 1, lit(n)))))
-  }
+  def ngramCol(text: Column, n: Int): Column =
+    graft.functions.GraftFunctions.wordGrams(text, n)
 }

@@ -32,6 +32,41 @@ class DedupSpec extends AnyFunSuite {
       rows.map(r => org.apache.spark.sql.Row(r._1, r._2)).asJava, schema)
   }
 
+  test("gram expressions == HOF formulas (shingles + ngramCol, r6)") {
+    // the single-pass CharShingles/WordGrams expressions must emit the
+    // exact distinct gram arrays (content AND order) of the composable
+    // formulations the DuckDB oracles mirror
+    val samples = Seq(
+      "", "ab", "abcde", "abcdefgh", "aaaaaaaa", // repeats dedup
+      "  padded   with\tmixed\nwhitespace  ",
+      "w1 w2 w3 w4 w5 w1 w2 w3 w4 w5",           // repeated word grams
+      "漢字文本 mixed ascii éè",
+      "one", "one two", (1 to 50).map(i => s"t$i").mkString(" "))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val df = spark.createDataFrame(
+      samples.map(org.apache.spark.sql.Row(_)).asJava, schema)
+    def hofShingles(k: Int) = array_distinct(transform(
+      sequence(lit(0), greatest(length(col("text")) - k, lit(0))),
+      i => substring(col("text"), lit(1) + i, lit(k))))
+    def hofGrams(n: Int) = {
+      val words = filter(split(col("text"), "\\s+"), w => length(w) > 0)
+      array_distinct(transform(
+        sequence(lit(0), greatest(size(words) - n, lit(0))),
+        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+    }
+    for (k <- Seq(2, 5)) {
+      val bad = df.select(col("text"),
+        Dedup.shingles(col("text"), k).as("fast"), hofShingles(k).as("slow"),
+        Dedup.ngramCol(col("text"), k).as("gfast"), hofGrams(k).as("gslow"))
+        .collect().filter(r => r.getSeq[String](1) != r.getSeq[String](2) ||
+          r.getSeq[String](3) != r.getSeq[String](4))
+      assert(bad.isEmpty, bad.map(r => s"k=$k '${r.getString(0)}': " +
+        s"${r.getSeq[String](1)} vs ${r.getSeq[String](2)} | " +
+        s"${r.getSeq[String](3)} vs ${r.getSeq[String](4)}").mkString("; "))
+    }
+  }
+
   test("ngramJaccard: exact hand-computed values") {
     // doc1: w1..w5 -> 3-grams {w1 w2 w3, w2 w3 w4, w3 w4 w5}
     // doc2: w1..w4 -> {w1 w2 w3, w2 w3 w4}   inter=2 union=3 -> 2/3
