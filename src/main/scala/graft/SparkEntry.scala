@@ -304,6 +304,17 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // quality gate with per-reason reject accounting (r6): punct is
+    // planted in-query (fixture text carries none) so the punct class
+    // provably fires; thresholds chosen to split the fixture's token
+    // distribution (10-99 tokens) into nonzero classes
+    "q20_quality_filter" -> ((s, dir) => {
+      val seeded = docs(s, dir)
+        .select(col("doc_id"), replace(col("text"),
+          lit("spark"), lit("spark!!")).as("text"))
+      TextAnalysis.qualityFilterStats(seeded)
+    }),
+
     // ---- dedup / similarity / fingerprint (Spark-only oracles) ----
     "d1_exact_dedup_groups" -> ((s, dir) => Dedup.exact(docsWithDups(s, dir))),
     "d2_minhash_pairs" -> ((s, dir) => Dedup.minhashPairs(docsWithDups(s, dir))),
@@ -601,6 +612,15 @@ object SparkEntry {
           "CAST(SUM(CASE WHEN n > 2 THEN n ELSE 0 END) AS BIGINT) AS n_dropped_rows " +
           "FROM bsz GROUP BY band ORDER BY band")
       },
+      "q20_quality_filter" ->
+        ("WITH seeded AS (SELECT doc_id, replace(text, 'spark', 'spark!!') AS text FROM documents) " +
+          s"SELECT reason, COUNT(*) AS n_docs FROM (SELECT CASE " +
+          s"WHEN ($toks) < 20 THEN '1_too_short' " +
+          s"WHEN ($toks) > 80 THEN '2_too_long' " +
+          s"WHEN ROUND($pr, 6) > 0.02 THEN '3_punct_heavy' " +
+          s"WHEN ROUND(LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * (1.0 - ($pr)) * ($wlok), 6) < 0.4 THEN '4_low_quality' " +
+          "ELSE '0_kept' END AS reason FROM seeded) t " +
+          "GROUP BY reason ORDER BY reason"),
       "q12_langid" ->
         (s"SELECT doc_id, CASE WHEN ($kana) > 0 THEN 'ja' " +
           s"WHEN ($hangul) > 0 THEN 'ko' " +

@@ -116,6 +116,30 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Document quality GATE with per-reason reject accounting (r6) —
+    * the Gopher-style filter stage a training-data pipeline runs
+    * between extraction and dedup, with the same no-silent-drop rule
+    * as the LSH band caps: every rejected document lands in a counted,
+    * named reason class. Reasons evaluate in a fixed priority order
+    * (first failure wins), so the counts partition the corpus exactly.
+    * Thresholds compare the ROUNDED metric columns (6 dp), making the
+    * formula bit-mirrorable in the DuckDB oracle (q20).
+    */
+  def qualityFilterStats(docs: DataFrame,
+                         minTokens: Long = 20, maxTokens: Long = 80,
+                         maxPunctRatio: Double = 0.02,
+                         minQuality: Double = 0.4): DataFrame = {
+    val m = qualityCols(col("text")).toMap
+    val reason = when(m("n_tokens") < minTokens, "1_too_short")
+      .when(m("n_tokens") > maxTokens, "2_too_long")
+      .when(m("punct_ratio") > maxPunctRatio, "3_punct_heavy")
+      .when(m("quality") < minQuality, "4_low_quality")
+      .otherwise("0_kept")
+    docs.select(reason.as("reason"))
+      .groupBy("reason").agg(count(lit(1)).as("n_docs"))
+      .orderBy("reason")
+  }
+
   /** Unicode NFC normalization + language-aware segmentation for the
     * tokenizer-bound training-data surface (SURVEY §2.7; VERDICT r3
     * "next" #7). Extraction output itself stays UN-normalized (golden

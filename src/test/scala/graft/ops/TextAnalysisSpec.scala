@@ -90,6 +90,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(diff.isEmpty, diff.map(r => s"'${r.getString(2)}': ${r.getString(0)} vs ${r.getString(1)}").mkString("; "))
   }
 
+  test("qualityFilterStats: first-failure priority partitions exactly (r6)") {
+    import scala.jdk.CollectionConverters._
+    val wordsN = (n: Int) => (1 to n).map(i => s"tok$i").mkString(" ")
+    val rows = Seq(
+      "a b",                                  // 2 tokens -> too_short (also low quality; priority wins)
+      wordsN(100),                            // -> too_long
+      wordsN(30) + " !!!!!!!!!!!!!!!!!!!!",   // punct ratio high -> punct_heavy (also short text -> low quality; priority)
+      wordsN(30),                             // ~180 chars, quality < 0.4 -> low_quality
+      wordsN(75) + " " + (1 to 9).map(i => s"filler$i").mkString(" ")) // 84 tokens>80? no: 75+9=84 -> too_long
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val df = spark.createDataFrame(rows.map(org.apache.spark.sql.Row(_)).asJava, schema)
+    val got = TextAnalysis.qualityFilterStats(df)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("1_too_short" -> 1L, "2_too_long" -> 2L,
+      "3_punct_heavy" -> 1L, "4_low_quality" -> 1L), got.toString)
+  }
+
   test("langIdCol defaults to en on empty/um-markered text") {
     import scala.jdk.CollectionConverters._
     val schema = org.apache.spark.sql.types.StructType(Seq(
