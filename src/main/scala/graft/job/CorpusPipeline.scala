@@ -2,7 +2,7 @@ package graft.job
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Urls}
+import graft.ops.{Dedup, TextAnalysis, Urls}
 
 /** The composed LLM-training-data flagship (VERDICT r5 "next" #1):
   * extraction output → URL canonicalization → exact text dedup →
@@ -32,23 +32,37 @@ object CorpusPipeline {
 
   /** `extracted` needs columns (url: string, text: string); rows with
     * NULL text (failed extractions) are dropped as stage 0.
+    *
+    * Quality-gate thresholds default WIDE (reject only degenerate
+    * documents): the gate's job inside the pipeline is dropping empty/
+    * garbage extractions before they pay dedup cost, not corpus
+    * curation — q20 is the tunable curation surface. Per-row gate
+    * arithmetic is the cheapest stage, so it runs FIRST.
     */
   def run(extracted: DataFrame,
           k: Int = 5, numHashes: Int = 32, bands: Int = 8,
           minEstJaccard: Double = 0.5,
           maxBandBucket: Int = Dedup.DefaultMaxBandBucket,
           maxIter: Int = 10,
+          minTokens: Long = 5, maxTokens: Long = 10000000L,
+          maxPunctRatio: Double = 0.3, minQuality: Double = 0.0,
           checkpoint: DataFrame => DataFrame = _.localCheckpoint()): Result = {
     val spark = extracted.sparkSession
 
     val input = checkpoint(
       extracted.select(col("url"), col("text")).filter(col("text").isNotNull))
 
+    // cheap per-row quality gate before any shuffle: degenerate
+    // documents must not pay canonicalization/minhash cost
+    val gated = checkpoint(
+      input.filter(TextAnalysis.qualityReason(col("text"),
+        minTokens, maxTokens, maxPunctRatio, minQuality) === "0_kept"))
+
     // one row per canonical URL (tracking params / case / ports / %enc
     // collapse); min_by picks the lexicographically-first raw url as
     // the canonical carrier — a hash-agg, not a window
     val byUrl = checkpoint(
-      input.groupBy(Urls.canonicalize(col("url")).as("url_canon"))
+      gated.groupBy(Urls.canonicalize(col("url")).as("url_canon"))
         .agg(min_by(struct(col("url"), col("text")), col("url")).as("r"))
         .select(col("r.url").as("url"), col("r.text").as("text")))
 
@@ -76,9 +90,10 @@ object CorpusPipeline {
     // four scalar counts over materialized frames — bounded driver data
     val counts = Seq(
       ("1_input", input.count()),
-      ("2_url_canon_dedup", byUrl.count()),
-      ("3_exact_dedup", byText.count()),
-      ("4_neardup_kept", kept.count()))
+      ("2_quality_kept", gated.count()),
+      ("3_url_canon_dedup", byUrl.count()),
+      ("4_exact_dedup", byText.count()),
+      ("5_neardup_kept", kept.count()))
     import scala.jdk.CollectionConverters._
     val stages = spark.createDataFrame(
       counts.map { case (n, c) => org.apache.spark.sql.Row(n, c) }.asJava,

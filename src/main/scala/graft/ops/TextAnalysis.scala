@@ -128,16 +128,24 @@ object TextAnalysis {
   def qualityFilterStats(docs: DataFrame,
                          minTokens: Long = 20, maxTokens: Long = 80,
                          maxPunctRatio: Double = 0.02,
-                         minQuality: Double = 0.4): DataFrame = {
-    val m = qualityCols(col("text")).toMap
-    val reason = when(m("n_tokens") < minTokens, "1_too_short")
+                         minQuality: Double = 0.4): DataFrame =
+    docs.select(qualityReason(col("text"),
+      minTokens, maxTokens, maxPunctRatio, minQuality).as("reason"))
+      .groupBy("reason").agg(count(lit(1)).as("n_docs"))
+      .orderBy("reason")
+
+  /** The gate's reason column ("0_kept" or the first failing class) —
+    * shared by q20's stats query and `CorpusPipeline`'s filter stage.
+    */
+  def qualityReason(text: Column,
+                    minTokens: Long, maxTokens: Long,
+                    maxPunctRatio: Double, minQuality: Double): Column = {
+    val m = qualityCols(text).toMap
+    when(m("n_tokens") < minTokens, "1_too_short")
       .when(m("n_tokens") > maxTokens, "2_too_long")
       .when(m("punct_ratio") > maxPunctRatio, "3_punct_heavy")
       .when(m("quality") < minQuality, "4_low_quality")
       .otherwise("0_kept")
-    docs.select(reason.as("reason"))
-      .groupBy("reason").agg(count(lit(1)).as("n_docs"))
-      .orderBy("reason")
   }
 
   /** Unicode NFC normalization + language-aware segmentation for the

@@ -37,9 +37,11 @@ class CorpusPipelineSpec extends AnyFunSuite {
       ("https://c.com/v1", s"family story ${base("casa")}"),
       ("https://c.com/v2", s"family story ${base("casa")} plus one extra sentence here"),
       ("https://c.com/v3", s"family story ${base("casa")} plus two extra sentences here now"),
-      // D unrelated survivor + a failed extraction (NULL text)
+      // D unrelated survivor + a failed extraction (NULL text) + a
+      // degenerate doc the quality gate drops (< minTokens)
       ("https://d.com/solo", "a completely different short document about nothing else"),
-      ("https://e.com/fail", null))
+      ("https://e.com/fail", null),
+      ("https://f.com/junk", "x y"))
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("url", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
@@ -48,10 +50,11 @@ class CorpusPipelineSpec extends AnyFunSuite {
 
     val res = CorpusPipeline.run(df)
     val stages = res.stages.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(stages("1_input") == 8L, stages.toString)           // NULL text dropped
-    assert(stages("2_url_canon_dedup") == 7L, stages.toString) // utm re-crawl gone
-    assert(stages("3_exact_dedup") == 6L, stages.toString)     // mirror gone
-    assert(stages("4_neardup_kept") == 4L, stages.toString)    // c2+c3 gone
+    assert(stages("1_input") == 9L, stages.toString)           // NULL text dropped
+    assert(stages("2_quality_kept") == 8L, stages.toString)    // 2-token junk gone
+    assert(stages("3_url_canon_dedup") == 7L, stages.toString) // utm re-crawl gone
+    assert(stages("4_exact_dedup") == 6L, stages.toString)     // mirror gone
+    assert(stages("5_neardup_kept") == 4L, stages.toString)    // c2+c3 gone
 
     val kept = res.kept.collect().map(_.getString(0)).toSet
     assert(kept == Set("https://a.com/x", "https://b.com/1",
