@@ -78,6 +78,23 @@ object ExtractStream {
       }
   }
 
+  /** Cross-microbatch dedup by CANONICAL url (r6): re-crawls that
+    * differ only in tracking params / case / default ports / percent
+    * encoding collapse ONLINE, using the same `Urls.canonicalize`
+    * rules as the batch pipeline (x7). State is the crawl-scale
+    * concern here: plain dropDuplicates keys grow forever on an
+    * unbounded crawl stream, so this uses
+    * `dropDuplicatesWithinWatermark` — re-crawls of one resource land
+    * within the watermark horizon (crawlers revisit in bounded time)
+    * and state older than the watermark is evicted.
+    */
+  def dedupByCanonicalUrl(ds: Dataset[StreamExtracted],
+                          watermark: String = "2 hours"): DataFrame =
+    ds.toDF()
+      .withColumn("url_canon", graft.ops.Urls.canonicalize(org.apache.spark.sql.functions.col("url")))
+      .withWatermark("warc_ts", watermark)
+      .dropDuplicatesWithinWatermark("url_canon")
+
   /** Per-microbatch operational metrics via `observe()`: doc/error/char
     * counts surface in every `StreamingQueryProgress.observedMetrics`
     * under "extract_metrics" — the streaming analogue of the batch

@@ -52,6 +52,31 @@ class ExtractStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("canonical-url dedup drops tracking-param recrawls across microbatches (r6)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp, Array[Byte], String, String)]
+    val pages = mem.toDF().toDF("url", "warc_ts", "html", "text", "lang")
+    val out = ExtractStream.dedupByCanonicalUrl(
+      ExtractStream.transform(spark, pages, Partitioning.defaultSpec(4)))
+    val q = out.writeStream.format("memory").queryName("stream_canon")
+      .outputMode("append").start()
+    try {
+      def trk(id: Long) = { // the same resource re-crawled with tracking params
+        val (u, ts, html, t, l) = row(id)
+        (u + "?utm_source=rss&fbclid=zz", ts, html, t, l)
+      }
+      mem.addData((0L until 5L).map(row): _*)
+      q.processAllAvailable()
+      mem.addData(Seq(trk(0L), trk(3L), row(5L)): _*) // 2 canon-dups + 1 new
+      q.processAllAvailable()
+      val urls = spark.table("stream_canon").select("url_canon")
+        .as[String].collect()
+      assert(urls.length == 6, s"expected 6 canonical urls, got ${urls.length}: ${urls.mkString(",")}")
+      assert(urls.distinct.length == 6)
+    } finally q.stop()
+  }
+
   test("file-source -> partitioned sink run with checkpoint") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
