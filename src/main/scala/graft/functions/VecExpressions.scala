@@ -240,12 +240,37 @@ object GraftFunctions {
   def fvlsh(emb: Column, dim: Int, planes: Int, tables: Int, probes: Int = 0): Column =
     ColumnBridge.column(FloatVecLshKeys(ColumnBridge.expression(emb), dim, planes, tables, probes))
 
-  /** Optional: expose graft_fvdot to SQL text on `spark`'s registry. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      DotName, { exprs =>
-        require(exprs.length == 2,
-          s"$DotName expects 2 arguments, got ${exprs.length}")
-        FloatVecDot(exprs.head, exprs(1))
+  /** Optional: expose the custom expressions to SQL text on `spark`'s
+    * registry (r6: all of them — at deploy scale the same builders
+    * live in a `SparkSessionExtensions`). Gram arities take a literal
+    * int size, like the built-in `substring` lengths.
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def one(name: String, mk: Expression => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, { exprs =>
+        require(exprs.length == 1, s"$name expects 1 argument, got ${exprs.length}")
+        mk(exprs.head)
       }, "built-in")
+    def withLitInt(name: String, mk: (Expression, Int) => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, { exprs =>
+        require(exprs.length == 2, s"$name expects 2 arguments, got ${exprs.length}")
+        exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) =>
+            mk(exprs.head, v)
+          case other => throw new IllegalArgumentException(
+            s"$name size must be an integer literal, got $other")
+        }
+      }, "built-in")
+    reg.createOrReplaceTempFunction(DotName, { exprs =>
+      require(exprs.length == 2, s"$DotName expects 2 arguments, got ${exprs.length}")
+      FloatVecDot(exprs.head, exprs(1))
+    }, "built-in")
+    one(NfcName, NfcNormalize)
+    one(LangIdName, LangId)
+    one(PctNormName, PercentNormalize)
+    one(IdnName, IdnAscii)
+    withLitInt("graft_char_shingles", CharShingles)
+    withLitInt("graft_word_grams", WordGrams)
+  }
 }

@@ -74,6 +74,36 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("string expressions survive random unicode input deterministically (r6)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val rng = new scala.util.Random(20260817L)
+    (0 until 500).foreach { i =>
+      // random codepoints incl. surrogate-pair planes, %-signs, ws
+      val sb = new java.lang.StringBuilder
+      (0 until rng.nextInt(200)).foreach { _ =>
+        rng.nextInt(6) match {
+          case 0 => sb.append('%')
+          case 1 => sb.append(" \t\n".charAt(rng.nextInt(3)))
+          case 2 => sb.appendCodePoint(0x10000 + rng.nextInt(0x1000)) // astral
+          case _ => sb.appendCodePoint(1 + rng.nextInt(0xD7FF))
+        }
+      }
+      val u = UTF8String.fromString(sb.toString)
+      val t0 = System.nanoTime()
+      // each must be total (no throw) and deterministic (same output twice)
+      def twice[A](f: => A): Unit = assert(f == f, s"non-deterministic at case $i")
+      twice(graft.functions.PercentNormalizeImpl.normalize(u))
+      twice(graft.functions.IdnAsciiImpl.toAscii(u))
+      twice(graft.functions.LangIdImpl.detect(u))
+      val st = org.apache.spark.sql.types.StringType
+      val k = 1 + rng.nextInt(8)
+      val n = 1 + rng.nextInt(5)
+      twice(graft.functions.ShingleImpl.charShingles(u, k).toObjectArray(st).mkString("|"))
+      twice(graft.functions.ShingleImpl.wordGrams(u, n).toObjectArray(st).mkString("|"))
+      assert((System.nanoTime() - t0) / 1000000 < 2000, s"expr fuzz case $i slow")
+    }
+  }
+
   private def mutate(bytes: Array[Byte], rng: scala.util.Random): Array[Byte] = {
     val mode = rng.nextInt(4)
     mode match {

@@ -104,6 +104,25 @@ class VecExpressionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("expects 2 arguments"))
   }
 
+  test("SQL registration: all r6 expressions callable from SQL text") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_nfc('ä') AS nfc, graft_langid('der und die das ist') AS lid, " +
+        "graft_pctnorm('%2f%7e') AS pn, graft_idn('bücher.example') AS idn, " +
+        "graft_char_shingles('abcd', 2) AS cs, graft_word_grams('a b c', 2) AS wg").collect().head
+    assert(r.getString(0) == "ä")
+    assert(r.getString(1) == "de")
+    assert(r.getString(2) == "%2F~")
+    assert(r.getString(3) == "xn--bcher-kva.example")
+    assert(r.getSeq[String](4) == Seq("ab", "bc", "cd"))
+    assert(r.getSeq[String](5) == Seq("a b", "b c"))
+    // gram size must be a literal, like substring lengths
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT graft_char_shingles('abc', 1 + 1)").collect()
+    }
+    assert(e2.getMessage.contains("integer literal"))
+  }
+
   test("codegen path agrees with the HOF formulation on a non-local plan") {
     val df = rangeVecs(200, 16)
     val bad = df.select(
