@@ -63,8 +63,12 @@ object ErrorDocs {
     "<< /Type /Font /Subtype /Type0 /BaseFont /STSong-Light " +
       "/Encoding /GBK2K-H /DescendantFonts [6 0 R] >>"
   private val gb18030Show = {
-    val hex4 = "☃".getBytes("GB18030").map(b => f"${b & 0xff}%02X").mkString
-    s"<BABA$hex4> Tj" // U+6C49 (2-byte) + U+2603 (4-byte)
+    def hex(cp: String) = cp.getBytes("GB18030").map(b => f"${b & 0xff}%02X").mkString
+    // U+6C49 (2-byte) + U+2603 (4-byte, first byte 0x81) + U+4DB6
+    // (4-byte, FIRST BYTE 0x82: its leading two bytes pack >= 0x8140,
+    // so only BYTE-WISE codespace matching splits it correctly —
+    // ADVICE r5 high, exercised end-to-end here since r6)
+    s"<BABA${hex("\u2603")}${hex("\u4db6")}BABA> Tj"
   }
 
   private def cmapObj(body: String): String =
