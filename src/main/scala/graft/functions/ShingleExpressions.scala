@@ -58,7 +58,65 @@ case class WordGrams(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Winnowing fingerprints (Schleimer/Wilkerson/Aiken '03) as one
+  * single-pass expression (r6): distinct minima of xxhash64(word
+  * n-gram) over sliding windows of `w` hashes. The composable
+  * formulation `array_distinct(transform(sequence(0, size(hs)-w), i ->
+  * array_min(slice(hs, i+1, w))))` re-evaluated `hs` — the WHOLE
+  * gram+hash pipeline — per window index (the same HOF
+  * re-evaluation trap as CharShingles/WordGrams), i.e. O(W²) per
+  * document. Hashes are bit-identical to Spark's `xxhash64` (seed 42
+  * over the gram's UTF-8 bytes), so the emitted fingerprints equal the
+  * formula's exactly; equivalence asserted in DedupSpec.
+  */
+case class WinnowFingerprints(child: Expression, n: Int, w: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleImpl.winnow(input.asInstanceOf[UTF8String], n, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      x => s"${ev.value} = graft.functions.ShingleImpl.winnow($x, $n, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
 object ShingleImpl {
+
+  /** Distinct window-min fingerprints over xxhash64'd word n-grams —
+    * the `WinnowFingerprints` body. Window i covers hashes
+    * [i, min(i+w, count)), mirroring `array_min(slice(hs, i+1, w))`.
+    */
+  def winnow(u: UTF8String, n: Int, w: Int): ArrayData = {
+    val grams = wordGrams(u, n)
+    val count = grams.numElements()
+    val hs = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      hs(i) = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        grams.getUTF8String(i), StringType, 42L)
+      i += 1
+    }
+    val nWin = math.max(count - w, 0) + 1
+    val seen = new java.util.LinkedHashSet[java.lang.Long](nWin * 2)
+    i = 0
+    while (i < nWin) {
+      val end = math.min(i + w, count)
+      var m = hs(i)
+      var j = i + 1
+      while (j < end) { if (hs(j) < m) m = hs(j); j += 1 }
+      seen.add(m)
+      i += 1
+    }
+    new GenericArrayData(seen.toArray(Array.empty[AnyRef]))
+  }
 
   /** Distinct character k-shingles, first-occurrence order, counted in
     * CODEPOINTS (Spark `substring` semantics). Matches

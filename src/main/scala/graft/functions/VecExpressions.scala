@@ -229,6 +229,10 @@ object GraftFunctions {
   def wordGrams(s: Column, n: Int): Column =
     ColumnBridge.column(WordGrams(ColumnBridge.expression(s), n))
 
+  /** Codegen'd single-pass winnowing fingerprints as a Column. */
+  def winnow(s: Column, n: Int, w: Int): Column =
+    ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(s), n, w))
+
   /** Codegen'd float-vector dot product as a Column. */
   def fvdot(a: Column, b: Column): Column =
     ColumnBridge.column(FloatVecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))

@@ -222,12 +222,17 @@ object TextAnalysis {
         array_min(col("fps")).as("fp_min"), array_max(col("fps")).as("fp_max"))
       .orderBy(col("doc_id"))
 
-  /** (doc_id, fps: array<long>) — the raw winnowed fingerprint sets. */
-  def fingerprints(docs: DataFrame, n: Int = 5, w: Int = 4): DataFrame = {
-    val hs = transform(Dedup.ngramCol(col("text"), n), g => xxhash64(g))
+  /** (doc_id, fps: array<long>) — the raw winnowed fingerprint sets.
+    *
+    * Semantics = `array_distinct(transform(sequence(0, size(hs)-w),
+    * i -> array_min(slice(hs, i+1, w))))` over `hs = transform(
+    * ngramCol(text, n), xxhash64)`, but computed by the single-pass
+    * `WinnowFingerprints` expression — the HOF form re-evaluated the
+    * whole gram+hash pipeline per window index (quadratic per
+    * document, the same trap as shingles/ngramCol; r6). Equivalence
+    * asserted in DedupSpec.
+    */
+  def fingerprints(docs: DataFrame, n: Int = 5, w: Int = 4): DataFrame =
     docs.select(col("doc_id"),
-      array_distinct(transform(
-        sequence(lit(0), greatest(size(hs) - w, lit(0))),
-        i => array_min(slice(hs, i + 1, lit(w))))).as("fps"))
-  }
+      graft.functions.GraftFunctions.winnow(col("text"), n, w).as("fps"))
 }

@@ -67,6 +67,29 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("winnow expression == HOF formula (fingerprints, r6)") {
+    val samples = Seq(
+      "", "one", "one two three",
+      (1 to 30).map(i => s"t$i").mkString(" "),
+      ((1 to 10) ++ (1 to 10)).map(i => s"rep$i").mkString(" ")) // repeated minima dedup
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val df = spark.createDataFrame(
+      samples.map(org.apache.spark.sql.Row(_)).asJava, schema)
+    for ((n, w) <- Seq((5, 4), (2, 3))) {
+      val hs = transform(Dedup.ngramCol(col("text"), n), g => xxhash64(g))
+      val hof = array_distinct(transform(
+        sequence(lit(0), greatest(size(hs) - w, lit(0))),
+        i => array_min(slice(hs, i + 1, lit(w)))))
+      val bad = df.select(col("text"),
+        graft.functions.GraftFunctions.winnow(col("text"), n, w).as("fast"),
+        hof.as("slow"))
+        .collect().filter(r => r.getSeq[Long](1) != r.getSeq[Long](2))
+      assert(bad.isEmpty, bad.map(r => s"n=$n w=$w '${r.getString(0)}': " +
+        s"${r.getSeq[Long](1)} vs ${r.getSeq[Long](2)}").mkString("; "))
+    }
+  }
+
   test("ngramJaccard: exact hand-computed values") {
     // doc1: w1..w5 -> 3-grams {w1 w2 w3, w2 w3 w4, w3 w4 w5}
     // doc2: w1..w4 -> {w1 w2 w3, w2 w3 w4}   inter=2 union=3 -> 2/3
