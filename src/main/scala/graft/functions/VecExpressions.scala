@@ -276,5 +276,15 @@ object GraftFunctions {
     one(IdnName, IdnAscii)
     withLitInt("graft_char_shingles", CharShingles)
     withLitInt("graft_word_grams", WordGrams)
+    reg.createOrReplaceTempFunction("graft_winnow", { exprs =>
+      require(exprs.length == 3, s"graft_winnow expects 3 arguments, got ${exprs.length}")
+      (exprs(1), exprs(2)) match {
+        case (org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _),
+              org.apache.spark.sql.catalyst.expressions.Literal(w: Int, _)) =>
+          WinnowFingerprints(exprs.head, n, w)
+        case _ => throw new IllegalArgumentException(
+          "graft_winnow sizes must be integer literals")
+      }
+    }, "built-in")
   }
 }

@@ -116,6 +116,8 @@ class VecExpressionsSpec extends AnyFunSuite {
     assert(r.getString(3) == "xn--bcher-kva.example")
     assert(r.getSeq[String](4) == Seq("ab", "bc", "cd"))
     assert(r.getSeq[String](5) == Seq("a b", "b c"))
+    val wn = spark.sql("SELECT graft_winnow('a b c d e f', 2, 3) AS f").collect().head
+    assert(wn.getSeq[Long](0).nonEmpty)
     // gram size must be a literal, like substring lengths
     val e2 = intercept[Exception] {
       spark.sql("SELECT graft_char_shingles('abc', 1 + 1)").collect()
