@@ -147,16 +147,8 @@ object SparkEntry {
       val ext = extractSmall(s).filter(col("error").isNull)
         .select(col("url"), col("text"))
         .localCheckpoint()
-      def slice(m: Int) = ext.filter(pmod(xxhash64(col("url")), lit(m)) === 0)
-      val canonDup = slice(17).select(
-        concat(col("url"), lit("?utm_source=rss&fbclid=x")).as("url"), col("text"))
-      val exactDup = slice(19).select(
-        concat(col("url"), lit(".mirror")).as("url"), col("text"))
-      val nearDup = slice(23).select(
-        concat(col("url"), lit("~amp")).as("url"),
-        concat(col("text"), lit(" via mobile reader")).as("text"))
       val res = graft.job.CorpusPipeline.run(
-        ext.unionByName(canonDup).unionByName(exactDup).unionByName(nearDup))
+        graft.job.CorpusPipeline.plantRepublications(ext))
       res.stages.orderBy("stage")
     }),
 

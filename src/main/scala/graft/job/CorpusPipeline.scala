@@ -30,6 +30,27 @@ object CorpusPipeline {
     */
   final case class Result(kept: DataFrame, stages: DataFrame)
 
+  /** Deterministic crawl-style republications over an extracted
+    * (url, text) table, so every pipeline stage demonstrably fires on
+    * synthetic corpora whose urls/texts are otherwise unique: a
+    * tracking-param re-crawl (canonical-URL collapse), a mirrored copy
+    * (exact-text collapse), and an appended-boilerplate variant
+    * (near-dup collapse). Slice membership is url-hash based (stable
+    * under repartitioning). Shared by the x7 driver query and
+    * `PipelineBench`.
+    */
+  def plantRepublications(ext: DataFrame): DataFrame = {
+    def slice(m: Int) = ext.filter(pmod(xxhash64(col("url")), lit(m)) === 0)
+    ext
+      .unionByName(slice(17).select(
+        concat(col("url"), lit("?utm_source=rss&fbclid=x")).as("url"), col("text")))
+      .unionByName(slice(19).select(
+        concat(col("url"), lit(".mirror")).as("url"), col("text")))
+      .unionByName(slice(23).select(
+        concat(col("url"), lit("~amp")).as("url"),
+        concat(col("text"), lit(" via mobile reader")).as("text")))
+  }
+
   /** `extracted` needs columns (url: string, text: string); rows with
     * NULL text (failed extractions) are dropped as stage 0.
     *
