@@ -88,7 +88,66 @@ case class WinnowFingerprints(child: Expression, n: Int, w: Int)
     copy(child = newChild)
 }
 
+/** Whole MinHash signature as ONE per-row expression (r6).
+  *
+  * The agg formulation (explode grams → groupBy(doc_id).agg(32 ×
+  * min(xxhash64(gram, seed)))) is semantically fine and its partial
+  * aggregation keeps the shuffle small — but it pays the explode
+  * (~grams rows/doc materialized) plus a 32-column hash-map aggregate,
+  * and it hashes every gram's BYTES once per seed. This expression
+  * computes the identical signature in a single pass with no explode,
+  * no aggregate, and no shuffle: per gram one string hash, then per
+  * seed a cheap int-hash finalizer — bit-identical to Spark's
+  * `xxhash64(gram, lit(seed))`, which hashes the gram (seed 42) and
+  * then folds the literal int into the running hash. Equivalence with
+  * the agg formulation is asserted in DedupSpec; measured ~4× on the
+  * pipeline's signature stage at 231k docs. At 100 TB this makes
+  * signature computation a pure projection — the only shuffle left in
+  * LSH dedup is the inherent band-bucket join.
+  */
+case class MinHashSig(child: Expression, k: Int, numHashes: Int, wordGrams: Boolean)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleImpl.minhashSig(input.asInstanceOf[UTF8String], k, numHashes, wordGrams)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      x => s"${ev.value} = graft.functions.ShingleImpl.minhashSig($x, $k, $numHashes, $wordGrams);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
 object ShingleImpl {
+
+  /** The `MinHashSig` body: for every distinct gram, one string hash
+    * (seed 42) then per-seed `XXH64.hashInt(seed, base)` — exactly
+    * Spark's `XxHash64(Seq(gram, Literal(seed)))` child fold.
+    */
+  def minhashSig(u: UTF8String, k: Int, numHashes: Int, wordGrams0: Boolean): ArrayData = {
+    val grams = if (wordGrams0) wordGrams(u, k) else charShingles(u, k)
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val n = grams.numElements()
+    var i = 0
+    while (i < n) {
+      val base = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        grams.getUTF8String(i), StringType, 42L)
+      var h = 0
+      while (h < numHashes) {
+        val v = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(h, base)
+        if (v < mins(h)) mins(h) = v
+        h += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
 
   /** Distinct window-min fingerprints over xxhash64'd word n-grams —
     * the `WinnowFingerprints` body. Window i covers hashes

@@ -233,6 +233,10 @@ object GraftFunctions {
   def winnow(s: Column, n: Int, w: Int): Column =
     ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(s), n, w))
 
+  /** Codegen'd whole-signature MinHash as a Column (array<long>). */
+  def minhashSig(s: Column, k: Int, numHashes: Int, wordGrams: Boolean): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(s), k, numHashes, wordGrams))
+
   /** Codegen'd float-vector dot product as a Column. */
   def fvdot(a: Column, b: Column): Column =
     ColumnBridge.column(FloatVecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))

@@ -83,13 +83,24 @@ object Dedup {
     * and the shape `CorpusPipeline` runs at 100 TB.
     */
   def minhash(docs: DataFrame, k: Int = 5, numHashes: Int = 32,
-              wordGrams: Boolean = false): DataFrame = {
-    val grams = if (wordGrams) ngramCol(col("text"), k) else shingles(col("text"), k)
-    val exploded = docs.select(col("doc_id"), explode(grams).as("shingle"))
-    val aggs = (0 until numHashes).map(h =>
-      min(xxhash64(col("shingle"), lit(h))).as(s"mh_$h"))
-    exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-  }
+              wordGrams: Boolean = false): DataFrame =
+    minhashSigs(docs, k, numHashes, wordGrams)
+      .select(col("doc_id") +:
+        (0 until numHashes).map(h => col("sig_arr")(h).as(s"mh_$h")): _*)
+
+  /** (doc_id, sig_arr: array<long>) through the single-pass
+    * `MinHashSig` expression — a pure projection, NO explode, NO
+    * aggregate, NO shuffle (the agg formulation it replaces is kept
+    * bit-identical in DedupSpec's equivalence test). The signature
+    * array is materialized ONCE per row behind a Generate barrier so
+    * downstream multi-references read an attribute instead of
+    * re-evaluating the expression.
+    */
+  private def minhashSigs(docs: DataFrame, k: Int, numHashes: Int,
+                          wordGrams: Boolean): DataFrame =
+    docs.select(col("doc_id"),
+      explode(array(graft.functions.GraftFunctions.minhashSig(
+        col("text"), k, numHashes, wordGrams))).as("sig_arr"))
 
   /** LSH banding: split the signature into `bands`, hash each band,
     * self-join on (band, band_hash) → candidate pairs, then score by
@@ -129,15 +140,18 @@ object Dedup {
     */
   private def minhashBuckets(docs: DataFrame, k: Int, numHashes: Int,
                              bands: Int, wordGrams: Boolean = false): DataFrame = {
-    val sigs = minhash(docs, k, numHashes, wordGrams)
-    val sigArr = array((0 until numHashes).map(h => col(s"mh_$h")): _*)
+    val sigs = minhashSigs(docs, k, numHashes, wordGrams)
     val rows = numHashes / bands
+    // band signatures hash the same long values as the former
+    // mh_i-column formulation (sig_arr(i) == mh_i), so bucket keys are
+    // unchanged; sig_arr is an attribute here (Generate barrier), so
+    // the 32 element reads below are array loads, not re-evaluations
     val bandCols = (0 until bands).map { b =>
-      val cols = (0 until rows).map(r => col(s"mh_${b * rows + r}"))
+      val cols = (0 until rows).map(r => col("sig_arr")(b * rows + r))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("sig"))
     }
     sigs
-      .select(col("doc_id"), sigArr.as("sig_arr"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("sig_arr"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("sig_arr"), col("bk.band").as("band"), col("bk.sig").as("sig"))
   }
 

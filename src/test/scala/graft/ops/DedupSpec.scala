@@ -67,6 +67,25 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("MinHashSig expression == explode/groupBy/min(xxhash64) aggregation, bit-identical (r6)") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "", // degenerate: single empty gram
+      3L -> ((1 to 60).map(i => s"w$i").mkString(" ")),
+      4L -> "漢字 mixed 漢字 text with repeats repeats repeats")
+    for (wg <- Seq(false, true); h <- Seq(8, 32)) {
+      val fast = Dedup.minhash(d, 5, h, wg).orderBy("doc_id").collect()
+        .map(r => (0 until h).map(i => r.getLong(i + 1)))
+      // the original aggregation formulation, inlined here as the twin
+      val grams = if (wg) Dedup.ngramCol(col("text"), 5) else Dedup.shingles(col("text"), 5)
+      val exploded = d.select(col("doc_id"), explode(grams).as("shingle"))
+      val aggs = (0 until h).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"m_$i"))
+      val slow = exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+        .orderBy("doc_id").collect().map(r => (0 until h).map(i => r.getLong(i + 1)))
+      assert(fast.toSeq == slow.toSeq, s"wordGrams=$wg H=$h")
+    }
+  }
+
   test("winnow expression == HOF formula (fingerprints, r6)") {
     val samples = Seq(
       "", "one", "one two three",
