@@ -613,6 +613,23 @@ object SparkEntry {
           s"WHEN ROUND(LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * (1.0 - ($pr)) * ($wlok), 6) < 0.4 THEN '4_low_quality' " +
           "ELSE '0_kept' END AS reason FROM seeded) t " +
           "GROUP BY reason ORDER BY reason"),
+      // exact cosine top-k (s1, the ANN ground truth) under the
+      // independent oracle (r6): DuckDB list_dot_product + window
+      // ranking mirror the cosine + (cos DESC, vec_id ASC) tie rules;
+      // output is integer-only (query_id, vec_id, rank), so float
+      // accumulation-order noise cannot reach the hash compare — and
+      // the fixture is deterministic, so a rank flip would surface
+      // immediately, not flakily
+      "s1_ann_brute" ->
+        ("WITH q AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 5), " +
+          "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id, " +
+          "list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) / " +
+          "(sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) * " +
+          "sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) + 1e-12) AS cos " +
+          "FROM q, embeddings c WHERE c.vec_id <> q.vec_id) " +
+          "SELECT query_id, vec_id, rank FROM (SELECT query_id, vec_id, " +
+          "CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank " +
+          "FROM scored) t WHERE rank <= 10 ORDER BY query_id, rank"),
       "q12_langid" ->
         (s"SELECT doc_id, CASE WHEN ($kana) > 0 THEN 'ja' " +
           s"WHEN ($hangul) > 0 THEN 'ko' " +
