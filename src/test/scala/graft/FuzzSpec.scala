@@ -96,10 +96,14 @@ class FuzzSpec extends AnyFunSuite {
       twice(graft.functions.IdnAsciiImpl.toAscii(u))
       twice(graft.functions.LangIdImpl.detect(u))
       val st = org.apache.spark.sql.types.StringType
+      val lt = org.apache.spark.sql.types.LongType
       val k = 1 + rng.nextInt(8)
       val n = 1 + rng.nextInt(5)
       twice(graft.functions.ShingleImpl.charShingles(u, k).toObjectArray(st).mkString("|"))
       twice(graft.functions.ShingleImpl.wordGrams(u, n).toObjectArray(st).mkString("|"))
+      val w = 1 + rng.nextInt(6) // hoisted: twice() is by-name
+      twice(graft.functions.ShingleImpl.winnow(u, n, w).toObjectArray(lt).mkString("|"))
+      twice(graft.functions.ShingleImpl.minhashSig(u, k, 8, i % 2 == 0).toObjectArray(lt).mkString("|"))
       assert((System.nanoTime() - t0) / 1000000 < 2000, s"expr fuzz case $i slow")
     }
   }
