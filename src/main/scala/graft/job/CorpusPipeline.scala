@@ -28,7 +28,13 @@ object CorpusPipeline {
   /** kept: one row per retained (url, text); stages: (stage, n_rows)
     * counts in pipeline order, a queryable no-silent-drop record.
     */
-  final case class Result(kept: DataFrame, stages: DataFrame)
+  /** `neardupConverged`/`neardupRounds` surface the clustering stage's
+    * convergence BY VALUE (ADVICE r5: an unconverged propagation means
+    * partially-merged labels and must be observable, never a log line
+    * a 100 TB job scrolls past).
+    */
+  final case class Result(kept: DataFrame, stages: DataFrame,
+                          neardupConverged: Boolean, neardupRounds: Int)
 
   /** Deterministic crawl-style republications over an extracted
     * (url, text) table, so every pipeline stage demonstrably fires on
@@ -103,7 +109,8 @@ object CorpusPipeline {
     val pairs = Dedup.minhashPairs(
       byText.select(col("url").as("doc_id"), col("text")),
       k, numHashes, bands, minEstJaccard, maxBandBucket, wordGrams = true)
-    val labels = Dedup.nearDupClusters(pairs, maxIter, checkpoint)
+    val (labels, converged, rounds) =
+      Dedup.nearDupClustersStatus(pairs, maxIter, checkpoint)
     val losers = labels.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("url"))
     val kept = checkpoint(byText.join(losers, Seq("url"), "left_anti"))
@@ -123,6 +130,6 @@ object CorpusPipeline {
           org.apache.spark.sql.types.StringType, nullable = false),
         org.apache.spark.sql.types.StructField("n_rows",
           org.apache.spark.sql.types.LongType, nullable = false))))
-    Result(kept, stages)
+    Result(kept, stages, converged, rounds)
   }
 }

@@ -49,6 +49,8 @@ class CorpusPipelineSpec extends AnyFunSuite {
       rows.map(r => org.apache.spark.sql.Row(r._1, r._2)).asJava, schema)
 
     val res = CorpusPipeline.run(df)
+    assert(res.neardupConverged && res.neardupRounds >= 1,
+      s"conv=${res.neardupConverged} rounds=${res.neardupRounds}")
     val stages = res.stages.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(stages("1_input") == 9L, stages.toString)           // NULL text dropped
     assert(stages("2_quality_kept") == 8L, stages.toString)    // 2-token junk gone
