@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.gen.CorpusTables
 import graft.job.{ExtractJob, Partitioning}
-import graft.ops.{Dedup, Similarity, TextAnalysis, Multimodal, Urls}
+import graft.ops.{Dedup, Pii, Similarity, TextAnalysis, Multimodal, Urls}
 
 /** Driver contract (SURVEY.md §3.3): flagship entry + one query per
   * operator, with DuckDB-oracle SQL where ANSI-expressible.
@@ -305,6 +305,37 @@ object SparkEntry {
         .select(col("doc_id"), replace(col("text"),
           lit("spark"), lit("spark!!")).as("text"))
       TextAnalysis.qualityFilterStats(seeded)
+    }),
+
+    // Gopher-style repetition signals (r6): the fixture text is one
+    // newline-free ASCII line, so repeated lines are planted in-query
+    // (every 'spark' occurrence emits the same marker line — docs with
+    // >= 2 occurrences provably show duplicated lines, single-occurrence
+    // docs provably show zero). The oracle recomputes all three
+    // fractions by SQL aggregation over unnested lines/bigrams — an
+    // independent algorithm, not a formula mirror of the single-pass
+    // expression.
+    "q21_repetition" -> ((s, dir) => {
+      val seeded = replace(col("text"),
+        lit("spark"), lit("spark\nrepeat line marker\n"))
+      docs(s, dir)
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.repStats(seeded).as("r"))
+        .select(col("doc_id"),
+          round(col("r").getItem(0), 6).as("dup_line_frac"),
+          round(col("r").getItem(1), 6).as("dup_line_char_frac"),
+          round(col("r").getItem(2), 6).as("top_bigram_char_frac"))
+        .orderBy("doc_id").limit(2000)
+    }),
+
+    // PII detect + scrub (r6): one planted instance of each class per
+    // 'spark' occurrence, so counts vary per doc and the scrub digest
+    // proves the actual replacement output, not just the counts
+    "q22_pii_scrub" -> ((s, dir) => {
+      val seeded = docs(s, dir).select(col("doc_id"), replace(col("text"),
+        lit("spark"),
+        lit("spark mail bob.smith+x@sub.example.org ip 10.20.30.40 tel +15551234567 ")).as("text"))
+      Pii.stats(seeded).limit(2000)
     }),
 
     // ---- dedup / similarity / fingerprint (Spark-only oracles) ----
@@ -613,6 +644,60 @@ object SparkEntry {
           s"WHEN ROUND(LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * (1.0 - ($pr)) * ($wlok), 6) < 0.4 THEN '4_low_quality' " +
           "ELSE '0_kept' END AS reason FROM seeded) t " +
           "GROUP BY reason ORDER BY reason"),
+      // repetition signals (r6): recomputed by SQL aggregation over
+      // unnested non-empty lines and positionally-zipped word bigrams
+      // — independent of the single-pass expression. Bigram coverage =
+      // count × gram chars (length(gram)-1 strips the joining space);
+      // denominators are line chars / word chars; empty denominators
+      // COALESCE to 0 like the expression's zero-denominator rule.
+      "q21_repetition" ->
+        ("WITH seeded AS (SELECT doc_id, replace(text, 'spark', " +
+          "'spark'||chr(10)||'repeat line marker'||chr(10)) AS text FROM documents), " +
+          "lines AS (SELECT doc_id, unnest(str_split(text, chr(10))) AS line FROM seeded), " +
+          "nl AS (SELECT doc_id, line FROM lines WHERE length(line) > 0), " +
+          "lc AS (SELECT doc_id, line, COUNT(*) AS c, COUNT(*)*length(line) AS chars " +
+          "FROM nl GROUP BY doc_id, line), " +
+          "lstats AS (SELECT doc_id, " +
+          "CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)/SUM(c) AS dlf, " +
+          "CAST(SUM(CASE WHEN c > 1 THEN chars ELSE 0 END) AS DOUBLE)/SUM(chars) AS dlcf " +
+          "FROM lc GROUP BY doc_id), " +
+          "w AS (SELECT doc_id, list_filter(str_split_regex(text, '\\s+'), " +
+          "x -> length(x) > 0) AS words FROM seeded), " +
+          "gl AS (SELECT doc_id, list_filter(list_zip(words, words[2:]), " +
+          "p -> p[2] IS NOT NULL) AS pairs FROM w), " +
+          "grams AS (SELECT doc_id, unnest(list_transform(pairs, " +
+          "p -> p[1] || ' ' || p[2])) AS gram FROM gl), " +
+          "gc AS (SELECT doc_id, gram, COUNT(*) * (length(gram) - 1) AS covered " +
+          "FROM grams GROUP BY doc_id, gram), " +
+          "tot AS (SELECT doc_id, SUM(length(x)) AS wchars FROM " +
+          "(SELECT doc_id, unnest(words) AS x FROM w) GROUP BY doc_id), " +
+          "topg AS (SELECT tot.doc_id, " +
+          "CAST(COALESCE(MAX(covered), 0) AS DOUBLE)/ANY_VALUE(tot.wchars) AS tbf " +
+          "FROM tot LEFT JOIN gc ON gc.doc_id = tot.doc_id GROUP BY tot.doc_id) " +
+          "SELECT s.doc_id, ROUND(COALESCE(l.dlf, 0), 6) AS dup_line_frac, " +
+          "ROUND(COALESCE(l.dlcf, 0), 6) AS dup_line_char_frac, " +
+          "ROUND(COALESCE(t.tbf, 0), 6) AS top_bigram_char_frac " +
+          "FROM seeded s LEFT JOIN lstats l ON s.doc_id = l.doc_id " +
+          "LEFT JOIN topg t ON s.doc_id = t.doc_id ORDER BY s.doc_id LIMIT 2000"),
+      // PII detect + scrub (r6): same portable patterns, same fixed
+      // replacement order (emails -> IPs -> phones); RE2 needs the
+      // explicit 'g' flag where Spark's regexp_replace is global
+      "q22_pii_scrub" -> {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+        val phone = "\\+[0-9]{7,15}"
+        val scrub = s"regexp_replace(regexp_replace(regexp_replace(text, " +
+          s"'$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$phone', '<PHONE>', 'g')"
+        "WITH seeded AS (SELECT doc_id, replace(text, 'spark', " +
+          "'spark mail bob.smith+x@sub.example.org ip 10.20.30.40 tel +15551234567 ') AS text " +
+          "FROM documents) SELECT doc_id, " +
+          s"CAST(length(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails, " +
+          s"CAST(length(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ipv4, " +
+          s"CAST(length(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phones, " +
+          s"md5($scrub) AS scrub_md5, " +
+          s"CAST(length($scrub) AS BIGINT) AS scrub_len " +
+          "FROM seeded ORDER BY doc_id LIMIT 2000"
+      },
       // exact cosine top-k (s1, the ANN ground truth) under the
       // independent oracle (r6): DuckDB list_dot_product + window
       // ranking mirror the cosine + (cos DESC, vec_id ASC) tie rules;

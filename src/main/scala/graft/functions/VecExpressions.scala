@@ -203,6 +203,7 @@ object GraftFunctions {
   val LangIdName = "graft_langid"
   val PctNormName = "graft_pctnorm"
   val IdnName = "graft_idn"
+  val RepStatsName = "graft_repstats"
   import org.apache.spark.sql.graft.ColumnBridge
 
   /** Codegen'd Unicode NFC normalization as a Column. */
@@ -220,6 +221,13 @@ object GraftFunctions {
   /** Codegen'd IDN→punycode host normalization as a Column. */
   def idnAscii(s: Column): Column =
     ColumnBridge.column(IdnAscii(ColumnBridge.expression(s)))
+
+  /** Codegen'd single-pass repetition signals as a Column
+    * (array<double>: [dup_line_frac, dup_line_char_frac,
+    * top_bigram_char_frac]).
+    */
+  def repStats(s: Column): Column =
+    ColumnBridge.column(RepetitionStats(ColumnBridge.expression(s)))
 
   /** Codegen'd single-pass distinct character k-shingles as a Column. */
   def charShingles(s: Column, k: Int): Column =
@@ -278,6 +286,7 @@ object GraftFunctions {
     one(LangIdName, LangId)
     one(PctNormName, PercentNormalize)
     one(IdnName, IdnAscii)
+    one(RepStatsName, RepetitionStats)
     withLitInt("graft_char_shingles", CharShingles)
     withLitInt("graft_word_grams", WordGrams)
     reg.createOrReplaceTempFunction("graft_winnow", { exprs =>

@@ -104,6 +104,8 @@ class FuzzSpec extends AnyFunSuite {
       val w = 1 + rng.nextInt(6) // hoisted: twice() is by-name
       twice(graft.functions.ShingleImpl.winnow(u, n, w).toObjectArray(lt).mkString("|"))
       twice(graft.functions.ShingleImpl.minhashSig(u, k, 8, i % 2 == 0).toObjectArray(lt).mkString("|"))
+      val dt = org.apache.spark.sql.types.DoubleType
+      twice(graft.functions.RepetitionImpl.stats(u).toObjectArray(dt).mkString("|"))
       assert((System.nanoTime() - t0) / 1000000 < 2000, s"expr fuzz case $i slow")
     }
   }
