@@ -2,7 +2,7 @@ package graft.job
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, TextAnalysis, Urls}
+import graft.ops.{Dedup, Pii, TextAnalysis, Urls}
 
 /** The composed LLM-training-data flagship (VERDICT r5 "next" #1):
   * extraction output → URL canonicalization → exact text dedup →
@@ -65,6 +65,15 @@ object CorpusPipeline {
     * garbage extractions before they pay dedup cost, not corpus
     * curation — q20 is the tunable curation surface. Per-row gate
     * arithmetic is the cheapest stage, so it runs FIRST.
+    *
+    * `maxDupLineFrac` < 1.0 additionally rejects boilerplate-repetitive
+    * documents at the gate (Gopher-style duplicate-line fraction from
+    * the single-pass `RepetitionStats` expression; 1.0 = disabled since
+    * the fraction never exceeds 1). `scrubPii = true` replaces
+    * email/IP/phone matches in the KEPT texts with class tokens —
+    * scrubbing runs after dedup on purpose: rewriting text earlier
+    * would perturb the exact-dedup digests and minhash grams for
+    * documents that differ only in their PII spellings.
     */
   def run(extracted: DataFrame,
           k: Int = 5, numHashes: Int = 32, bands: Int = 8,
@@ -73,6 +82,7 @@ object CorpusPipeline {
           maxIter: Int = 10,
           minTokens: Long = 5, maxTokens: Long = 10000000L,
           maxPunctRatio: Double = 0.3, minQuality: Double = 0.0,
+          maxDupLineFrac: Double = 1.0, scrubPii: Boolean = false,
           checkpoint: DataFrame => DataFrame = _.localCheckpoint()): Result = {
     val spark = extracted.sparkSession
 
@@ -81,9 +91,13 @@ object CorpusPipeline {
 
     // cheap per-row quality gate before any shuffle: degenerate
     // documents must not pay canonicalization/minhash cost
-    val gated = checkpoint(
-      input.filter(TextAnalysis.qualityReason(col("text"),
-        minTokens, maxTokens, maxPunctRatio, minQuality) === "0_kept"))
+    val passQuality = TextAnalysis.qualityReason(col("text"),
+      minTokens, maxTokens, maxPunctRatio, minQuality) === "0_kept"
+    val passRepetition =
+      if (maxDupLineFrac >= 1.0) lit(true)
+      else graft.functions.GraftFunctions.repStats(col("text"))
+        .getItem(0) <= maxDupLineFrac
+    val gated = checkpoint(input.filter(passQuality && passRepetition))
 
     // one row per canonical URL (tracking params / case / ports / %enc
     // collapse); min_by picks the lexicographically-first raw url as
@@ -113,7 +127,12 @@ object CorpusPipeline {
       Dedup.nearDupClustersStatus(pairs, maxIter, checkpoint)
     val losers = labels.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("url"))
-    val kept = checkpoint(byText.join(losers, Seq("url"), "left_anti"))
+    val keptRaw = checkpoint(byText.join(losers, Seq("url"), "left_anti"))
+    // post-dedup projection: counts below are over the deduped set,
+    // the scrub only rewrites the emitted text column
+    val kept =
+      if (scrubPii) keptRaw.withColumn("text", Pii.scrub(col("text")))
+      else keptRaw
 
     // four scalar counts over materialized frames — bounded driver data
     val counts = Seq(
@@ -121,7 +140,7 @@ object CorpusPipeline {
       ("2_quality_kept", gated.count()),
       ("3_url_canon_dedup", byUrl.count()),
       ("4_exact_dedup", byText.count()),
-      ("5_neardup_kept", kept.count()))
+      ("5_neardup_kept", keptRaw.count()))
     import scala.jdk.CollectionConverters._
     val stages = spark.createDataFrame(
       counts.map { case (n, c) => org.apache.spark.sql.Row(n, c) }.asJava,

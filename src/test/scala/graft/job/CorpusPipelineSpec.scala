@@ -82,4 +82,37 @@ class CorpusPipelineSpec extends AnyFunSuite {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
+
+  test("optional repetition gate and PII scrub (r6)") {
+    import scala.jdk.CollectionConverters._
+    def base(tag: String) = (1 to 40).map(i => s"$tag$i").mkString(" ")
+    val rows = Seq(
+      ("https://a.com/ok", s"a normal document ${base("normal")} with pii " +
+        "reach me at jane.doe@mail.example or +4915512345678 thanks"),
+      // pure boilerplate: one line repeated -> dup_line_frac 1.0
+      ("https://b.com/boiler",
+        Seq.fill(12)(s"subscribe banner ${base("rep")}").mkString("\n")),
+      ("https://c.com/solo", s"another unrelated document ${base("solo")} done"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("url", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val df = spark.createDataFrame(
+      rows.map(r => org.apache.spark.sql.Row(r._1, r._2)).asJava, schema)
+
+    // defaults: gate disabled, no scrub — boilerplate and PII survive
+    val off = CorpusPipeline.run(df)
+    assert(off.kept.collect().map(_.getString(0)).toSet.size == 3)
+    assert(off.kept.collect().map(_.getString(1)).exists(_.contains("jane.doe@mail.example")))
+
+    // gate on + scrub on: boilerplate rejected AT THE GATE (stage 2),
+    // kept texts carry class tokens instead of the raw PII
+    val on = CorpusPipeline.run(df, maxDupLineFrac = 0.5, scrubPii = true)
+    val stages = on.stages.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stages("1_input") == 3L && stages("2_quality_kept") == 2L, stages.toString)
+    val kept = on.kept.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(kept.keySet == Set("https://a.com/ok", "https://c.com/solo"), kept.keySet.toString)
+    val a = kept("https://a.com/ok")
+    assert(a.contains("<EMAIL>") && a.contains("<PHONE>"), a.takeRight(80))
+    assert(!a.contains("jane.doe") && !a.contains("+4915512345678"), a.takeRight(80))
+  }
 }
