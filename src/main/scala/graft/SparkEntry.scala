@@ -338,6 +338,45 @@ object SparkEntry {
       Pii.stats(seeded).limit(2000)
     }),
 
+    // per-domain accounting + C4-style host cap (q23, r6): three hosts
+    // of very different sizes planted over the fixture; cap 40 ⇒ the
+    // two big hosts are down-sampled by the deterministic md5-rank
+    // rule while the small one passes untouched. The oracle recomputes
+    // the SAME rank rule independently in SQL — the keep set is a pure
+    // function of the URL, so the per-host kept counts hash-match.
+    "q23_domain_cap" -> ((s, dir) => {
+      val host = when(col("doc_id") % 20 < 14, lit("https://big.example"))
+        .when(col("doc_id") % 20 < 19, lit("https://mid.example"))
+        .otherwise(lit("https://tiny.example"))
+      val seeded = docs(s, dir).select(col("doc_id"),
+        concat(host, lit("/doc/"), col("doc_id").cast("string")).as("url"),
+        col("text"))
+      val kept = Urls.capPerDomain(seeded, 40)
+        .groupBy(Urls.hostOf(col("url")).as("host"))
+        .agg(count(lit(1)).as("n_kept"))
+      Urls.domainStats(seeded).join(kept, Seq("host"), "left")
+        .select(col("host"), col("n_docs"), col("n_chars"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy("host")
+    }),
+
+    // cross-corpus boilerplate line removal (d10, r6): a cookie-banner
+    // line is planted after every 'spark' occurrence, so it appears in
+    // hundreds of documents and must vanish from ALL of them while the
+    // surrounding per-document segments survive; reassembly order is
+    // proven by the md5 of each cleaned text. The oracle removes the
+    // same lines with an independent algorithm (list_filter against
+    // the aggregated over-threshold line set — no per-line join).
+    "d10_line_dedup" -> ((s, dir) => {
+      val seeded = docs(s, dir).select(col("doc_id"), replace(col("text"),
+        lit("spark"),
+        lit("spark\nthis site uses cookies accept to continue\n")).as("text"))
+      Dedup.dropBoilerplateLines(seeded, minDocs = 5)
+        .select(col("doc_id"), md5(col("text")).as("clean_md5"),
+          length(col("text")).cast("long").as("clean_len"))
+        .orderBy("doc_id").limit(2000)
+    }),
+
     // ---- dedup / similarity / fingerprint (Spark-only oracles) ----
     "d1_exact_dedup_groups" -> ((s, dir) => Dedup.exact(docsWithDups(s, dir))),
     "d2_minhash_pairs" -> ((s, dir) => Dedup.minhashPairs(docsWithDups(s, dir))),
@@ -698,6 +737,38 @@ object SparkEntry {
           s"CAST(length($scrub) AS BIGINT) AS scrub_len " +
           "FROM seeded ORDER BY doc_id LIMIT 2000"
       },
+      // per-domain cap (q23): same planted hosts, same md5-derived
+      // [0,1) rank rule (first 13 md5 hex chars = 52 bits, exact in a
+      // double), recomputed from scratch in SQL
+      "q23_domain_cap" ->
+        ("WITH seeded AS (SELECT doc_id, (CASE WHEN doc_id % 20 < 14 THEN 'https://big.example' " +
+          "WHEN doc_id % 20 < 19 THEN 'https://mid.example' " +
+          "ELSE 'https://tiny.example' END) || '/doc/' || CAST(doc_id AS VARCHAR) AS url, text " +
+          "FROM documents), " +
+          "h AS (SELECT lower(regexp_extract(url, '^[A-Za-z]+://([^/?#:]+)', 1)) AS host, url, text FROM seeded), " +
+          "c AS (SELECT host, COUNT(*) AS n_docs, CAST(SUM(length(text)) AS BIGINT) AS n_chars FROM h GROUP BY host), " +
+          "k AS (SELECT h.host, COUNT(*) AS n_kept FROM h JOIN c USING (host) " +
+          "WHERE c.n_docs <= 40 OR CAST(('0x' || substr(md5(h.url), 1, 13)) AS BIGINT) / 4503599627370496.0 < 40.0 / c.n_docs " +
+          "GROUP BY h.host) " +
+          "SELECT c.host, c.n_docs, c.n_chars, COALESCE(k.n_kept, 0) AS n_kept " +
+          "FROM c LEFT JOIN k ON c.host = k.host ORDER BY c.host"),
+      // boilerplate line removal (d10): independent algorithm — the
+      // over-threshold line set is aggregated into ONE list and each
+      // document's lines are list_filter'ed against it in original
+      // order (the Spark side goes explode → anti-join → reassemble)
+      "d10_line_dedup" ->
+        ("WITH seeded AS (SELECT doc_id, replace(text, 'spark', " +
+          "'spark' || chr(10) || 'this site uses cookies accept to continue' || chr(10)) AS text " +
+          "FROM documents), " +
+          "l AS (SELECT doc_id, str_split(text, chr(10)) AS lines FROM seeded), " +
+          "cnt AS (SELECT line, COUNT(DISTINCT doc_id) AS nd FROM " +
+          "(SELECT doc_id, unnest(lines) AS line FROM l) u " +
+          "WHERE length(trim(line)) > 0 GROUP BY line), " +
+          "bl AS (SELECT COALESCE(list(line), []) AS bls FROM cnt WHERE nd >= 5), " +
+          "cleaned AS (SELECT doc_id, array_to_string(list_filter(l.lines, " +
+          "x -> NOT list_contains(bl.bls, x)), chr(10)) AS text FROM l, bl) " +
+          "SELECT doc_id, md5(text) AS clean_md5, CAST(length(text) AS BIGINT) AS clean_len " +
+          "FROM cleaned ORDER BY doc_id LIMIT 2000"),
       // exact cosine top-k (s1, the ANN ground truth) under the
       // independent oracle (r6): DuckDB list_dot_product + window
       // ranking mirror the cosine + (cos DESC, vec_id ASC) tie rules;

@@ -219,13 +219,26 @@ object HtmlParser {
     case _ => false
   }
 
+  /** Open-element cap (Blink caps at 512): beyond this depth new
+    * elements are flattened as siblings of the deepest open element
+    * instead of nesting. Bounds the tree depth so the recursive
+    * consumers (`HtmlExtractor.segment.walk`, `collectText`) cannot
+    * StackOverflowError on degenerate `<b><b><b>…` nests — an Error,
+    * not an Exception, so it would escape the extraction error
+    * taxonomy and kill the task (SURVEY.md §7 hazard 6).
+    */
+  private val MaxTreeDepth = 512
+
   /** Parse decoded HTML into a tree rooted at a synthetic element. */
   def parse(html: String): Elem = {
     val root = Elem("#root", Map.empty, ArrayBuffer.empty)
     val stack = ArrayBuffer[Elem](root)
 
     def top: Elem = stack.last
-    def push(e: Elem): Unit = { top.children += e; stack += e }
+    def push(e: Elem): Unit = {
+      top.children += e
+      if (stack.length < MaxTreeDepth) stack += e
+    }
     def popTo(tag: String): Unit = {
       val idx = stack.lastIndexWhere(_.tag == tag)
       if (idx > 0) stack.remove(idx, stack.length - idx)

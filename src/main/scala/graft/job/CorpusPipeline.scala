@@ -74,6 +74,21 @@ object CorpusPipeline {
     * scrubbing runs after dedup on purpose: rewriting text earlier
     * would perturb the exact-dedup digests and minhash grams for
     * documents that differ only in their PII spellings.
+    *
+    * `boilerplateLineMinDocs` (r6, opt-in) runs d10 cross-corpus
+    * boilerplate LINE removal right after the gate and BEFORE the
+    * dedup stages on purpose: stripping shared banners first lets
+    * exact dedup collapse documents that differed ONLY in their
+    * boilerplate — running it later would leave them distinct.
+    * Document count is unchanged (texts are rewritten, all-boilerplate
+    * docs survive empty), so the stage list keeps its shape; the
+    * effect is visible in the 4_exact_dedup collapse.
+    *
+    * `maxDocsPerHost` (r6, opt-in) applies the q23 per-host cap to the
+    * SURVIVOR set (after near-dup clustering, before the PII scrub) —
+    * duplicates must not count against a host's budget. Uses the
+    * codegen'd xxhash64 rank (`Urls.xxRank`); adds a `6_host_cap`
+    * stage row when enabled.
     */
   def run(extracted: DataFrame,
           k: Int = 5, numHashes: Int = 32, bands: Int = 8,
@@ -83,6 +98,8 @@ object CorpusPipeline {
           minTokens: Long = 5, maxTokens: Long = 10000000L,
           maxPunctRatio: Double = 0.3, minQuality: Double = 0.0,
           maxDupLineFrac: Double = 1.0, scrubPii: Boolean = false,
+          boilerplateLineMinDocs: Option[Int] = None,
+          maxDocsPerHost: Option[Int] = None,
           checkpoint: DataFrame => DataFrame = _.localCheckpoint()): Result = {
     val spark = extracted.sparkSession
 
@@ -97,7 +114,15 @@ object CorpusPipeline {
       if (maxDupLineFrac >= 1.0) lit(true)
       else graft.functions.GraftFunctions.repStats(col("text"))
         .getItem(0) <= maxDupLineFrac
-    val gated = checkpoint(input.filter(passQuality && passRepetition))
+    val gated0 = checkpoint(input.filter(passQuality && passRepetition))
+
+    // opt-in d10: strip corpus-frequent lines BEFORE dedup so banner-
+    // only differences collapse in the exact stage
+    val gated = boilerplateLineMinDocs match {
+      case Some(m) =>
+        checkpoint(Dedup.dropBoilerplateLines(gated0, m, idCol = "url"))
+      case None => gated0
+    }
 
     // one row per canonical URL (tracking params / case / ports / %enc
     // collapse); min_by picks the lexicographically-first raw url as
@@ -127,20 +152,29 @@ object CorpusPipeline {
       Dedup.nearDupClustersStatus(pairs, maxIter, checkpoint)
     val losers = labels.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("url"))
-    val keptRaw = checkpoint(byText.join(losers, Seq("url"), "left_anti"))
+    val deduped = checkpoint(byText.join(losers, Seq("url"), "left_anti"))
+    // opt-in q23: per-host budget over the SURVIVORS (dups don't count
+    // against a host); xxhash64 rank — deterministic, no window
+    val keptRaw = maxDocsPerHost match {
+      case Some(cap) =>
+        checkpoint(Urls.capPerDomain(deduped, cap, rank = Urls.xxRank))
+      case None => deduped
+    }
     // post-dedup projection: counts below are over the deduped set,
     // the scrub only rewrites the emitted text column
     val kept =
       if (scrubPii) keptRaw.withColumn("text", Pii.scrub(col("text")))
       else keptRaw
 
-    // four scalar counts over materialized frames — bounded driver data
+    // scalar counts over materialized frames — bounded driver data
     val counts = Seq(
       ("1_input", input.count()),
       ("2_quality_kept", gated.count()),
       ("3_url_canon_dedup", byUrl.count()),
       ("4_exact_dedup", byText.count()),
-      ("5_neardup_kept", keptRaw.count()))
+      ("5_neardup_kept", deduped.count())) ++
+      (if (maxDocsPerHost.isDefined) Seq(("6_host_cap", keptRaw.count()))
+       else Seq.empty)
     import scala.jdk.CollectionConverters._
     val stages = spark.createDataFrame(
       counts.map { case (n, c) => org.apache.spark.sql.Row(n, c) }.asJava,

@@ -382,4 +382,47 @@ object Dedup {
     */
   def ngramCol(text: Column, n: Int): Column =
     graft.functions.GraftFunctions.wordGrams(text, n)
+
+  /** Cross-corpus boilerplate LINE removal (d10) — the C4/RefinedWeb
+    * curation step document-level dedup cannot express: a line whose
+    * exact text appears in ≥ `minDocs` DISTINCT documents (cookie
+    * banners, nav text, footers, legal blurbs) is dropped from EVERY
+    * document, and each text is reassembled in original line order.
+    *
+    * SCALE SHAPE: the corpus-wide shuffle is on the line digest (md5,
+    * 16 bytes — not the line text, which averages 5–10× that), with
+    * map-side partial distinct+count; hot lines (the boilerplate
+    * itself, by definition the most frequent values) are dropped by a
+    * LEFT ANTI join against the small over-threshold digest set (AQE
+    * broadcasts it — |boilerplate lines| ≪ |lines|), so no reducer
+    * ever materializes a hot line's full group. Reassembly is one
+    * groupBy(doc_id) with a bounded per-document sort (array_sort over
+    * that document's own lines). Whitespace-only lines are never
+    * counted as boilerplate — dropping the empty line everywhere would
+    * silently rewrite every document's paragraph structure.
+    *
+    * Documents whose every line is boilerplate survive with empty text
+    * (observable downstream — the quality gate rejects them as
+    * too_short — rather than silently vanishing).
+    */
+  def dropBoilerplateLines(df: DataFrame, minDocs: Int,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val boiler = lines
+      .filter(length(trim(col("line"))) > 0)
+      .select(md5(col("line")).as("line_md5"), col(idCol)).distinct()
+      .groupBy("line_md5").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("line_md5")
+    val kept = lines.join(boiler,
+      md5(col("line")) === boiler("line_md5"), "left_anti")
+    val reassembled = kept.groupBy(idCol).agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("line")))),
+        x => x.getField("line")), "\n").as(textCol))
+    df.select(col(idCol)).join(reassembled, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+  }
 }

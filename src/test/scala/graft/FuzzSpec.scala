@@ -74,6 +74,88 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("HtmlExtractor survives markup-specific mutations (r6; VERDICT r5 #7)") {
+    val rng = new scala.util.Random(20260819L)
+    // corpus HTML docs as the seed population (real spec-matrix markup)
+    val htmlDocs = (0 until 200).map(i => CorpusGen.doc(i.toLong))
+      .filter(g => !PdfExtractor.isPdf(g.payload)).take(40)
+    assert(htmlDocs.nonEmpty)
+    var cases = 0
+    htmlDocs.foreach { g =>
+      val src = new String(g.payload, java.nio.charset.StandardCharsets.UTF_8)
+      (0 until 20).foreach { _ =>
+        val mutated = mutateMarkup(src, rng)
+        val bytes = mutated.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val t0 = System.nanoTime()
+        val r1 = HtmlExtractor.extract(bytes) // must be TOTAL: no throw at all
+        val r2 = HtmlExtractor.extract(bytes)
+        assert(r1 == r2, "non-deterministic HTML extraction")
+        assert((System.nanoTime() - t0) / 1000000 < 5000, "slow HTML fuzz case")
+        cases += 1
+      }
+    }
+    info(s"html fuzz: $cases mutated documents, 0 throws/hangs")
+  }
+
+  test("degenerate deep tag nests are depth-capped, not StackOverflowError (r6)") {
+    // 50k nested inline tags: without the tree-builder depth cap the
+    // recursive segment walk blows the stack — an Error, which escapes
+    // the job's Exception taxonomy and kills the task at scale.
+    val payload = "the payload text survives the depth cap with room to spare"
+    val deepInline = "<html><body><p>" + ("<b>" * 50000) + payload +
+      ("</b>" * 50000) + "</p></body></html>"
+    val r = HtmlExtractor.extractFromString(deepInline)
+    assert(r.text.contains(payload))
+    val deepBlock = "<html><body>" + ("<div>" * 50000) + s"<p>$payload</p>" +
+      ("</div>" * 50000) + "</body></html>"
+    val rb = HtmlExtractor.extractFromString(deepBlock)
+    assert(rb.text.contains(payload))
+    // width, not depth: 50k sibling paragraphs must also terminate fast
+    val wide = "<html><body>" + (0 until 50000)
+      .map(i => s"<p>wide paragraph number $i with enough characters to be kept</p>")
+      .mkString + "</body></html>"
+    val t0 = System.nanoTime()
+    val rw = HtmlExtractor.extractFromString(wide)
+    assert(rw.text.nonEmpty)
+    assert((System.nanoTime() - t0) / 1000000 < 10000)
+  }
+
+  /** HTML-shaped mutations: the byte-level `mutate` misses the
+    * markup-structural failure classes (mid-entity truncation, quote
+    * desync, raw-text mode escapes, charset lies).
+    */
+  private def mutateMarkup(src: String, rng: scala.util.Random): String = {
+    val sb = new java.lang.StringBuilder(src)
+    def randPos(): Int = if (sb.length == 0) 0 else rng.nextInt(sb.length)
+    (0 until 1 + rng.nextInt(3)).foreach { _ =>
+      rng.nextInt(9) match {
+        case 0 => // truncate anywhere (often mid-tag / mid-entity)
+          sb.setLength(randPos())
+        case 1 => // drop a random close tag
+          val i = sb.indexOf("</", randPos())
+          if (i >= 0) { val j = sb.indexOf(">", i); if (j > 0) sb.delete(i, j + 1) }
+        case 2 => // break an entity midway
+          val i = sb.indexOf("&", randPos())
+          if (i >= 0 && i + 3 < sb.length) sb.delete(i + 1, i + 3)
+        case 3 => // stray '<' and '&' into text
+          sb.insert(randPos(), if (rng.nextBoolean()) "<" else "&#x")
+        case 4 => // unterminated comment opener
+          sb.insert(randPos(), "<!--")
+        case 5 => // unterminated raw-text element
+          sb.insert(randPos(), "<script>var x = '<p>not markup</p>';")
+        case 6 => // attr quote desync
+          sb.insert(randPos(), "<div class=\"unclosed><span id='x>")
+        case 7 => // lie about the charset
+          val i = sb.indexOf("charset")
+          if (i >= 0) sb.replace(i, i + 7, "charset=ebcdic-garbage ")
+          else sb.insert(0, "<meta charset=\"no-such-charset\">")
+        case _ => // NULs and C1 controls into the stream
+          sb.insert(randPos(), "\u0000\u008A\u0001")
+      }
+    }
+    sb.toString
+  }
+
   test("string expressions survive random unicode input deterministically (r6)") {
     import org.apache.spark.unsafe.types.UTF8String
     val rng = new scala.util.Random(20260817L)

@@ -115,4 +115,65 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(a.contains("<EMAIL>") && a.contains("<PHONE>"), a.takeRight(80))
     assert(!a.contains("jane.doe") && !a.contains("+4915512345678"), a.takeRight(80))
   }
+
+  test("optional boilerplate line removal and per-host cap (r6)") {
+    import scala.jdk.CollectionConverters._
+    def base(tag: String, n: Int = 40) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    // each host has its OWN 50-word banner on 5 documents; the same
+    // 50-word article body is republished once per host. With d10 off
+    // the two republications differ by their big host banners (word-gram
+    // jaccard ≈ 1/3, below the 0.5 near-dup threshold) and BOTH survive;
+    // with d10 on the banners are stripped corpus-wide, the texts become
+    // byte-identical, and EXACT dedup collapses them — the cross-stage
+    // interaction this option exists for.
+    val banner1 = s"cookie banner for host one ${base("bannerone", 50)}"
+    val banner2 = s"cookie banner for host two ${base("bannertwo", 50)}"
+    val shared = s"the very same republished article body ${base("same", 50)} end"
+    val rows = Seq(
+      ("https://h1.com/a", s"$banner1\n$shared"),
+      ("https://h2.com/b", s"$shared\n$banner2")) ++
+      (1 to 4).map(i =>
+        (s"https://h1.com/f$i", s"$banner1\nfiller one $i ${base(s"fone$i", 50)}")) ++
+      (1 to 4).map(i =>
+        (s"https://h2.com/f$i", s"$banner2\nfiller two $i ${base(s"ftwo$i", 50)}")) ++
+      // one big host with 30 distinct documents for the cap
+      (1 to 30).map(i => (s"https://big.com/p$i", s"big host document $i ${base(s"big$i")}"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("url", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val df = spark.createDataFrame(
+      rows.map(r => org.apache.spark.sql.Row(r._1, r._2)).asJava, schema)
+
+    // both options off: the banner'd republications stay distinct,
+    // big.com keeps all 30, and there is no 6_host_cap stage row
+    val off = CorpusPipeline.run(df)
+    val offKept = off.kept.collect().map(_.getString(0)).toSet
+    assert(offKept.contains("https://h1.com/a") && offKept.contains("https://h2.com/b"),
+      offKept.toString)
+    assert(offKept.count(_.startsWith("https://big.com/")) == 30)
+    assert(!off.stages.collect().map(_.getString(0)).contains("6_host_cap"))
+
+    val on = CorpusPipeline.run(df, boilerplateLineMinDocs = Some(5),
+      maxDocsPerHost = Some(10))
+    val stages = on.stages.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = on.kept.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // both banners are stripped from every kept text
+    assert(kept.values.forall(t => !t.contains(banner1) && !t.contains(banner2)),
+      kept.values.take(2).toString)
+    // the republications collapsed in the EXACT stage once the banners
+    // were stripped (min url wins); the fillers survive distinct
+    assert(kept.contains("https://h1.com/a") && !kept.contains("https://h2.com/b"),
+      stages.toString)
+    assert(stages("4_exact_dedup") == stages("3_url_canon_dedup") - 1, stages.toString)
+    // the cap bounded big.com's survivors (30 docs, cap 10 — the
+    // binomial rule keeps ~10, never all 30) and recorded its stage
+    val bigKept = kept.keySet.count(_.startsWith("https://big.com/"))
+    assert(bigKept < 30 && bigKept > 0, s"big.com kept $bigKept")
+    assert(stages("6_host_cap") == stages("5_neardup_kept") - (30 - bigKept).toLong,
+      stages.toString)
+    // the small hosts (h1: 5 docs, h2: 4 after the collapse) are
+    // untouched by the cap — every filler survives
+    assert((1 to 4).forall(i => kept.contains(s"https://h1.com/f$i") &&
+      kept.contains(s"https://h2.com/f$i")), kept.keySet.toString)
+  }
 }

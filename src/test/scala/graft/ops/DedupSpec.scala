@@ -304,4 +304,34 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)), s"honest pair lost: $pairs")
     assert(!pairs.exists { case (a, b) => a >= 1000L && b >= 1000L })
   }
+
+  test("dropBoilerplateLines: corpus-frequent lines vanish, order + structure survive (d10)") {
+    val banner = "this site uses cookies"
+    val d = docs(
+      (1L to 6L).map(i =>
+        i -> s"unique head $i\n$banner\nunique tail $i\n\nafter blank $i") :+
+        // a doc that is NOTHING but boilerplate must survive with empty
+        // text (observable), not vanish from the corpus
+        (7L -> banner) :+
+        // a line shared by only 2 docs stays (threshold is 5)
+        (8L -> s"rare shared line\nunique body 8") :+
+        (9L -> s"rare shared line\nunique body 9"): _*)
+    val out = Dedup.dropBoilerplateLines(d, minDocs = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == (1L to 9L).toSet) // every doc survives
+    (1L to 6L).foreach { i =>
+      // banner dropped; original line ORDER and the blank line kept
+      assert(out(i) == s"unique head $i\nunique tail $i\n\nafter blank $i", out(i))
+    }
+    assert(out(7L) == "") // all-boilerplate doc -> empty text, not absent
+    assert(out(8L) == "rare shared line\nunique body 8") // under threshold
+    assert(out(9L) == "rare shared line\nunique body 9")
+    // REPEATS WITHIN one doc don't count as corpus frequency: a line
+    // 10 times in a single doc is repetition (q21's job), not corpus
+    // boilerplate — it must stay
+    val solo = docs(1L -> (Seq.fill(10)("my own refrain").mkString("\n")))
+    val soloOut = Dedup.dropBoilerplateLines(solo, minDocs = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(soloOut(1L) == Seq.fill(10)("my own refrain").mkString("\n"))
+  }
 }

@@ -77,4 +77,34 @@ class UrlsSpec extends AnyFunSuite {
     // distinct scheme-less inputs stay distinct (ADVICE r5 low)
     assert(got("relative/path-7") != got("not a url at all"))
   }
+
+  test("capPerDomain: under-cap hosts untouched, over-cap down-sampled deterministically (q23)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // big: 400 docs, small: 10 docs
+    val df = ((0 until 400).map(i => (i.toLong, s"https://big.example/p$i", s"t$i")) ++
+      (0 until 10).map(i => (1000L + i, s"https://small.example/p$i", s"s$i")))
+      .toDF("doc_id", "url", "text")
+    val capped = Urls.capPerDomain(df, maxDocs = 50)
+    val byHost = capped.groupBy(Urls.hostOf(col("url")).as("host")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byHost("small.example") == 10)        // under cap: every doc kept
+    val bigKept = byHost("big.example")
+    // binomial around 50 (p = 50/400 per doc): far below 400, never 0
+    assert(bigKept > 20 && bigKept < 100, s"big.example kept $bigKept of 400")
+    // deterministic: the SAME documents survive on re-run
+    val run1 = capped.select("doc_id").as[Long].collect().sorted.toSeq
+    val run2 = Urls.capPerDomain(df, maxDocs = 50)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(run1 == run2)
+    // the keep rule is a pure per-row function of (url, host count)
+    val rule = run1.toSet
+    assert((1000L until 1010L).forall(rule.contains))
+    // schema passthrough: input columns survive, helper columns dropped
+    assert(capped.columns.toSeq == Seq("doc_id", "url", "text"))
+    // domainStats agrees with raw counts
+    val stats = Urls.domainStats(df)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats == Map("big.example" -> 400L, "small.example" -> 10L))
+  }
 }
