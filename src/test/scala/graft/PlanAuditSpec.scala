@@ -113,4 +113,31 @@ class PlanAuditSpec extends AnyFunSuite {
     // canonical-row picks are min_by hash aggregates, not windows
     assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p)
   }
+
+  test("q23/d10: host cap and line dedup plan no window, no cartesian (r6)") {
+    // q23: the cap must NOT be a row_number window (a mega-host would
+    // funnel into one sorting reducer); it is count-agg + join + filter
+    val p23 = plan("q23_domain_cap")
+    assert(!p23.contains("Window"), p23)
+    assert(!p23.contains("CartesianProduct"), p23)
+    // d10: boilerplate drop is a LEFT ANTI join on the line digest;
+    // reassembly is an aggregate, not a window
+    val p10 = plan("d10_line_dedup")
+    assert(p10.contains("LeftAnti"), p10)
+    assert(!p10.contains("Window"), p10)
+    assert(!p10.contains("CartesianProduct"), p10)
+
+    // the full-lineage pipeline with BOTH r6 options on stays clean
+    import org.apache.spark.sql.functions._
+    val docs = spark.range(0, 30).select(
+      concat(lit("https://h.io/p"), col("id")).as("url"),
+      concat(lit("text body shared prefix words here count "), col("id")).as("text"))
+    val res = graft.job.CorpusPipeline.run(docs,
+      boilerplateLineMinDocs = Some(5), maxDocsPerHost = Some(10),
+      checkpoint = df => df)
+    val p = res.kept.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("InMemoryTableScan"), p)
+  }
 }
