@@ -377,6 +377,19 @@ object SparkEntry {
         .orderBy("doc_id").limit(2000)
     }),
 
+    // duplicate-passage detection (d11, r6): a 10-word passage is
+    // planted after every 'spark' occurrence, so documents containing
+    // it share the windows fully inside the passage while their
+    // surrounding windows stay unique — nonzero fractions for sharing
+    // docs, zero for the rest. The oracle recomputes gram sets, corpus
+    // counts and fractions from scratch in SQL.
+    "d11_dup_passages" -> ((s, dir) => {
+      val seeded = docs(s, dir).select(col("doc_id"), replace(col("text"),
+        lit("spark"),
+        lit("spark shared passage alpha beta gamma delta epsilon zeta eta theta")).as("text"))
+      Dedup.dupPassageStats(seeded, n = 8).orderBy("doc_id").limit(2000)
+    }),
+
     // ---- dedup / similarity / fingerprint (Spark-only oracles) ----
     "d1_exact_dedup_groups" -> ((s, dir) => Dedup.exact(docsWithDups(s, dir))),
     "d2_minhash_pairs" -> ((s, dir) => Dedup.minhashPairs(docsWithDups(s, dir))),
@@ -769,6 +782,28 @@ object SparkEntry {
           "x -> NOT list_contains(bl.bls, x)), chr(10)) AS text FROM l, bl) " +
           "SELECT doc_id, md5(text) AS clean_md5, CAST(length(text) AS BIGINT) AS clean_len " +
           "FROM cleaned ORDER BY doc_id LIMIT 2000"),
+      // duplicate-passage stats (d11): same 8-word windows as the d4
+      // oracle's gram CTE (slice semantics proven there, incl. the
+      // one-short-gram rule for docs under n words), corpus counts
+      // over per-doc distinct grams, fractions recomputed in SQL
+      "d11_dup_passages" ->
+        ("WITH seeded AS (SELECT doc_id, replace(text, 'spark', " +
+          "'spark shared passage alpha beta gamma delta epsilon zeta eta theta') AS text " +
+          "FROM documents), " +
+          "words AS (SELECT doc_id, list_filter(w0, x -> x <> '') AS w FROM " +
+          "(SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w0 FROM seeded)), " +
+          "grams AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+7], ' ') " +
+          "for i in range(1, greatest(len(w)-8, 0) + 2)]) AS gs FROM words), " +
+          "g AS (SELECT doc_id, unnest(gs) AS gram FROM grams), " +
+          "dup AS (SELECT gram FROM (SELECT gram, COUNT(*) AS nd FROM g GROUP BY gram) " +
+          "WHERE nd >= 2), " +
+          "per AS (SELECT g.doc_id, COUNT(*) AS n_dup FROM g JOIN dup USING (gram) " +
+          "GROUP BY g.doc_id) " +
+          "SELECT gr.doc_id, CAST(len(gr.gs) AS BIGINT) AS n_windows, " +
+          "CAST(COALESCE(per.n_dup, 0) AS BIGINT) AS n_dup_windows, " +
+          "ROUND(CASE WHEN len(gr.gs) > 0 THEN CAST(COALESCE(per.n_dup, 0) AS DOUBLE) / len(gr.gs) " +
+          "ELSE 0.0 END, 6) AS dup_frac " +
+          "FROM grams gr LEFT JOIN per USING (doc_id) ORDER BY gr.doc_id LIMIT 2000"),
       // exact cosine top-k (s1, the ANN ground truth) under the
       // independent oracle (r6): DuckDB list_dot_product + window
       // ranking mirror the cosine + (cos DESC, vec_id ASC) tie rules;

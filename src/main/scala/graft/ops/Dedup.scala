@@ -383,6 +383,47 @@ object Dedup {
   def ngramCol(text: Column, n: Int): Column =
     graft.functions.GraftFunctions.wordGrams(text, n)
 
+  /** Duplicate-passage detection (d11) — the per-document signal
+    * behind exact-substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): for each document,
+    * the fraction of its distinct word n-gram windows that appear in
+    * at least one OTHER document. Document-level minhash misses long
+    * passages copied between otherwise-different pages (quotes, syndic
+    * blocks, license text); this measures exactly that, and the
+    * fraction is the standard triage signal for whether a corpus needs
+    * a substring-level pass.
+    *
+    * SCALE SHAPE: one explode of distinct grams per doc (the
+    * single-pass `WordGrams` expression — ~words rows/doc), shuffled
+    * on the md5 gram digest (16 bytes, not the n-word string) for a
+    * two-level count, then a co-partitioned LEFT SEMI join back and a
+    * per-doc count. No windows, no self-join; a hot gram's postings
+    * list concentrates only inside the semi join that flags it.
+    * Detection only, by design — REMOVAL of overlapping windows needs
+    * suffix-automaton machinery that doesn't decompose into relational
+    * ops; the signal tells a corpus owner whether to run that pass.
+    */
+  def dupPassageStats(df: DataFrame, n: Int = 8,
+                      textCol: String = "text"): DataFrame = {
+    val grams = df.select(col("doc_id"),
+      explode(ngramCol(col(textCol), n)).as("gram"))
+      .select(col("doc_id"), md5(col("gram")).as("g"))
+    // ngramCol is per-doc DISTINCT, so count(*) per digest = doc count
+    val dup = grams.groupBy("g").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("g")
+    val perDoc = grams.join(dup, Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_windows"))
+    df.select(col("doc_id"),
+      size(ngramCol(col(textCol), n)).cast("long").as("n_windows"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+      .withColumn("dup_frac",
+        when(col("n_windows") > 0,
+          round(col("n_dup_windows").cast("double") / col("n_windows"), 6))
+          .otherwise(lit(0.0)))
+  }
+
   /** Cross-corpus boilerplate LINE removal (d10) — the C4/RefinedWeb
     * curation step document-level dedup cannot express: a line whose
     * exact text appears in ≥ `minDocs` DISTINCT documents (cookie

@@ -51,7 +51,8 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("dedup ops never plan a cartesian product") {
-    Seq("d2_minhash_pairs", "d3_simhash_pairs", "d4_ngram_jaccard").foreach { q =>
+    Seq("d2_minhash_pairs", "d3_simhash_pairs", "d4_ngram_jaccard",
+      "d11_dup_passages").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
     }

@@ -305,6 +305,23 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => a >= 1000L && b >= 1000L })
   }
 
+  test("dupPassageStats: shared windows counted exactly, unique docs at zero (d11)") {
+    val p = (1 to 8).map(i => s"s$i").mkString(" ") // the 8-word shared passage
+    val d = docs(
+      1L -> s"$p u1a u1b u1c", // 11 words -> 4 windows, 1 shared (the pure passage)
+      2L -> s"$p u2a u2b u2c",
+      3L -> (1 to 11).map(i => s"only$i").mkString(" "), // 4 windows, none shared
+      4L -> "tiny doc here", // < n words -> ONE short gram (d4 slice rule)
+      5L -> "tiny doc here") // identical short doc -> that gram is shared
+    val out = Dedup.dupPassageStats(d, n = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((4L, 1L, 0.25)), out(1L).toString)
+    assert(out(2L) == ((4L, 1L, 0.25)))
+    assert(out(3L) == ((4L, 0L, 0.0)))
+    assert(out(4L) == ((1L, 1L, 1.0))) // short-doc gram matches doc 5
+    assert(out(5L) == ((1L, 1L, 1.0)))
+  }
+
   test("dropBoilerplateLines: corpus-frequent lines vanish, order + structure survive (d10)") {
     val banner = "this site uses cookies"
     val d = docs(
