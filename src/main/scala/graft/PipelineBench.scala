@@ -44,9 +44,15 @@ object PipelineBench {
     val t0 = System.nanoTime()
     val ext = extractOnce()
     val tExtract = (System.nanoTime() - t0) / 1e9
+    // opt-in r6 stages, so the same main also measures the full
+    // curation chain: SPARK_GRAFT_PIPE_FULL=1 turns on boilerplate
+    // line removal (d10) and the per-host cap (q23)
+    val full = sys.env.get("SPARK_GRAFT_PIPE_FULL").contains("1")
     val t1 = System.nanoTime()
     val res = graft.job.CorpusPipeline.run(
-      graft.job.CorpusPipeline.plantRepublications(ext))
+      graft.job.CorpusPipeline.plantRepublications(ext),
+      boilerplateLineMinDocs = if (full) Some(100) else None,
+      maxDocsPerHost = if (full) Some(1000) else None)
     val stages = res.stages.collect().map(r => r.getString(0) -> r.getLong(1))
     val tPipeline = (System.nanoTime() - t1) / 1e9
     val total = tExtract + tPipeline
