@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.gen.CorpusTables
 import graft.job.{ExtractJob, Partitioning}
-import graft.ops.{Dedup, Pii, Similarity, TextAnalysis, Multimodal, Urls}
+import graft.ops.{Dedup, Pii, Sampling, Similarity, TextAnalysis, Multimodal, Urls}
 
 /** Driver contract (SURVEY.md §3.3): flagship entry + one query per
   * operator, with DuckDB-oracle SQL where ANSI-expressible.
@@ -388,6 +388,47 @@ object SparkEntry {
         lit("spark"),
         lit("spark shared passage alpha beta gamma delta epsilon zeta eta theta")).as("text"))
       Dedup.dupPassageStats(seeded, n = 8).orderBy("doc_id").limit(2000)
+    }),
+
+    // benchmark decontamination (d12, r6): every 50th document's first
+    // 200 chars pose as an eval-set item, so exactly those documents
+    // carry contaminated windows (plus any organic cross-doc gram
+    // collisions — the oracle recomputes those too). The corpus gram
+    // side joins a BROADCAST distinct benchmark digest set (eval sets
+    // are MBs vs a 100 TB corpus) — corpus grams never shuffle.
+    "d12_decontam" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("bench_id"),
+          substring(col("text"), 1, 200).as("text"))
+      Dedup.contaminationStats(d, bench, n = 8)
+        .orderBy("doc_id").limit(2000)
+    }),
+
+    // deterministic stratified sampling (q24, r6): per-language keep
+    // rates incl. a drop-all stratum; the keep rule is a pure function
+    // of doc_id (md5 rank — the q23 rule), so the oracle recomputes
+    // membership independently and the per-stratum counts hash-match.
+    "q24_sample_stratified" -> ((s, dir) =>
+      Sampling.sampleStats(docs(s, dir),
+        Map("en" -> 0.3, "zh" -> 0.5, "fr" -> 0.0))),
+
+    // mojibake repair (q25, r6): the cp1252 double-encoding of
+    // 'café déjà vu — naïve résumé' is planted after every 'spark';
+    // fixture texts are otherwise pure ASCII, so the oracle derives
+    // the expected REPAIRED text independently (replace to the clean
+    // form) — hash equality proves both the repair of every planted
+    // segment and repair-identity on all clean text.
+    "q25_mojibake" -> ((s, dir) => {
+      val moji = "caf\u00C3\u00A9 d\u00C3\u00A9j\u00C3\u00A0 vu " +
+        "\u00E2\u20AC\u201D na\u00C3\u00AFve r\u00C3\u00A9sum\u00C3\u00A9"
+      val seeded = docs(s, dir).select(col("doc_id"),
+        replace(col("text"), lit("spark"), lit("spark " + moji)).as("text"))
+      val fixed = graft.functions.GraftFunctions.fixMojibake(col("text"))
+      seeded.select(col("doc_id"),
+        md5(fixed).as("fixed_md5"),
+        length(fixed).cast("long").as("fixed_len"))
+        .orderBy("doc_id").limit(2000)
     }),
 
     // ---- dedup / similarity / fingerprint (Spark-only oracles) ----
@@ -804,6 +845,51 @@ object SparkEntry {
           "ROUND(CASE WHEN len(gr.gs) > 0 THEN CAST(COALESCE(per.n_dup, 0) AS DOUBLE) / len(gr.gs) " +
           "ELSE 0.0 END, 6) AS dup_frac " +
           "FROM grams gr LEFT JOIN per USING (doc_id) ORDER BY gr.doc_id LIMIT 2000"),
+      // benchmark decontamination (d12): the oracle rebuilds the
+      // benchmark slice, BOTH gram sets (same 8-word windows as the
+      // d4/d11 gram CTE) and the per-doc overlap counts from scratch
+      "d12_decontam" ->
+        ("WITH bw AS (SELECT list_filter(regexp_split_to_array(substr(text, 1, 200), '\\s+'), " +
+          "x -> x <> '') AS w FROM documents WHERE doc_id % 50 = 0), " +
+          "bg AS (SELECT DISTINCT unnest(list_distinct([array_to_string(w[i:i+7], ' ') " +
+          "for i in range(1, greatest(len(w)-8, 0) + 2)])) AS gram FROM bw), " +
+          "words AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), " +
+          "x -> x <> '') AS w FROM documents), " +
+          "grams AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+7], ' ') " +
+          "for i in range(1, greatest(len(w)-8, 0) + 2)]) AS gs FROM words), " +
+          "g AS (SELECT doc_id, unnest(gs) AS gram FROM grams), " +
+          "per AS (SELECT g.doc_id, COUNT(*) AS n_c FROM g JOIN bg USING (gram) " +
+          "GROUP BY g.doc_id) " +
+          "SELECT gr.doc_id, CAST(len(gr.gs) AS BIGINT) AS n_windows, " +
+          "CAST(COALESCE(per.n_c, 0) AS BIGINT) AS n_contam_windows, " +
+          "ROUND(CASE WHEN len(gr.gs) > 0 THEN CAST(COALESCE(per.n_c, 0) AS DOUBLE) / len(gr.gs) " +
+          "ELSE 0.0 END, 6) AS contam_frac " +
+          "FROM grams gr LEFT JOIN per USING (doc_id) ORDER BY gr.doc_id LIMIT 2000"),
+      // stratified sampling (q24): same md5-derived [0,1) rank rule as
+      // q23, membership recomputed per row from scratch in SQL
+      "q24_sample_stratified" ->
+        ("WITH r AS (SELECT doc_id, lang, " +
+          "CASE WHEN lang = 'en' THEN 0.3 WHEN lang = 'zh' THEN 0.5 " +
+          "WHEN lang = 'fr' THEN 0.0 ELSE 1.0 END AS rate, " +
+          "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) / 4503599627370496.0 AS rk " +
+          "FROM documents), " +
+          "c AS (SELECT lang, COUNT(*) AS n_docs FROM r GROUP BY lang), " +
+          "k AS (SELECT lang, COUNT(*) AS n_kept FROM r WHERE rk < rate GROUP BY lang) " +
+          "SELECT c.lang, c.n_docs, CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept, " +
+          "ROUND(CAST(COALESCE(k.n_kept, 0) AS DOUBLE) / c.n_docs, 6) AS realized_rate " +
+          "FROM c LEFT JOIN k USING (lang) ORDER BY c.lang"),
+      // mojibake repair (q25): the oracle derives the expected REPAIRED
+      // text INDEPENDENTLY — fixture texts are pure ASCII (a repair
+      // fixed point), so replacing to the CLEAN form is exactly what a
+      // correct repair of the planted cp1252 double-encoding must
+      // produce; hash equality also proves identity on clean text
+      "q25_mojibake" -> {
+        val clean = "spark café déjà vu " +
+          "— naïve résumé"
+        s"SELECT doc_id, md5(replace(text, 'spark', '$clean')) AS fixed_md5, " +
+          s"CAST(length(replace(text, 'spark', '$clean')) AS BIGINT) AS fixed_len " +
+          "FROM documents ORDER BY doc_id LIMIT 2000"
+      },
       // exact cosine top-k (s1, the ANN ground truth) under the
       // independent oracle (r6): DuckDB list_dot_product + window
       // ranking mirror the cosine + (cos DESC, vec_id ASC) tie rules;

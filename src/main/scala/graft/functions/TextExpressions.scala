@@ -260,3 +260,143 @@ object LangIdImpl {
     UTF8String.fromString(out)
   }
 }
+
+/** Mojibake (double-encoded UTF-8) repair as a codegen'd expression
+  * (r6). The classic crawl corruption: a page's UTF-8 bytes were
+  * decoded as windows-1252 somewhere upstream and re-encoded, so
+  * "café — naïve" arrives as "cafÃ© â€” naÃ¯ve". The repair inverts
+  * that exact transform — map each char back to its windows-1252 byte
+  * and strictly re-decode as UTF-8 — and ONLY fires when the inverse
+  * exists for the whole string AND the bytes form valid (shorter)
+  * UTF-8: genuine Latin-1 prose like "déjà vu" has no valid UTF-8
+  * reading (0xE9 expects two continuation bytes), genuine Cyrillic/CJK
+  * text has chars outside windows-1252 entirely, and pure ASCII exits
+  * on a scan-only fast path — so clean text is a fixed point (the q25
+  * oracle asserts identity-on-clean over every fixture document by
+  * hash). Up to 3 rounds handle doubly-mojibaked text. The inverse is
+  * the "sloppy windows-1252" reading (ftfy's convention): Latin-1
+  * identity — covering ISO-8859-1 mis-decodes, whose 0x80–0x9F bytes
+  * arrive as C1 controls — overlaid with the cp1252 specials read from
+  * the JDK charset, so both common mis-decode flavors invert through
+  * one table. U+FFFD is deliberately NOT invertible: a strict cp1252
+  * decoder collapses its five undefined bytes (81 8D 8F 90 9D) onto
+  * the replacement char, so such text is information-theoretically
+  * unrecoverable — and U+FFFD is common in honest crawl text, which
+  * must never be "repaired".
+  */
+case class FixMojibake(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = GraftFunctions.MojibakeName
+
+  override protected def nullSafeEval(input: Any): Any =
+    MojibakeImpl.fix(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      x => s"${ev.value} = graft.functions.MojibakeImpl.fix($x);")
+
+  override protected def withNewChildInternal(newChild: Expression): FixMojibake =
+    copy(child = newChild)
+}
+
+object MojibakeImpl {
+  /** char → byte inverse of the "sloppy windows-1252" reading (the
+    * ftfy convention): Latin-1 identity for every char < 0x100 —
+    * including the C1 controls, which is what an ISO-8859-1 mis-decode
+    * produces for bytes 0x80–0x9F — overlaid with the 27 cp1252
+    * specials (€ ‚ ƒ … ™ œ ž Ÿ, …) above U+00FF, read from the JDK
+    * decoder itself. The two char sets are disjoint, so every mapped
+    * char has an unambiguous byte, and both windows-1252 and latin-1
+    * mis-decodes invert through the one table. U+FFFD is unmapped on
+    * purpose: a strict cp1252 decoder collapses its five undefined
+    * bytes onto the replacement char, destroying the byte — strings
+    * carrying U+FFFD decline repair.
+    */
+  private val invHighChars = new Array[Char](32)
+  private val invHighBytes = new Array[Byte](32)
+  private var invHighN = 0
+  locally {
+    val cs = java.nio.charset.Charset.forName("windows-1252")
+    var b = 0x80
+    while (b < 0xA0) {
+      val ch = new String(Array(b.toByte), cs).charAt(0)
+      // cp1252 special; the 5 undefined bytes decode to U+FFFD and must
+      // NOT be invertible (no unique inverse)
+      if (ch >= 0x100 && ch != '�') {
+        invHighChars(invHighN) = ch; invHighBytes(invHighN) = b.toByte; invHighN += 1
+      }
+      b += 1
+    }
+  }
+
+  def fix(u: UTF8String): UTF8String = {
+    // fast path: ASCII-only bytes can't be mojibake — no allocation
+    val nb = u.numBytes()
+    val base = u.getBaseObject
+    val off = u.getBaseOffset
+    var i = 0L
+    var ascii = true
+    while (ascii && i < nb) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) < 0) ascii = false
+      i += 1
+    }
+    if (ascii) return u
+    val s = u.toString
+    val out = fixStr(s)
+    if (out eq s) u else UTF8String.fromString(out)
+  }
+
+  def fixStr(s: String): String = {
+    var cur = s
+    var round = 0
+    while (round < 3) {
+      val next = once(cur)
+      if (next eq cur) return cur
+      cur = next
+      round += 1
+    }
+    cur
+  }
+
+  /** One inversion round; returns the input reference unchanged when
+    * the repair doesn't apply (no full inverse / invalid UTF-8 / no
+    * multi-byte lead present).
+    */
+  private def once(s: String): String = {
+    val n = s.length
+    val bytes = new Array[Byte](n)
+    var hasLead = false
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      val b: Int =
+        if (c < 0x100) c.toInt // latin-1 identity incl. C1 controls
+        else {
+          var j = 0
+          var found = -1
+          while (found < 0 && j < invHighN) {
+            if (invHighChars(j) == c) found = invHighBytes(j) & 0xFF
+            j += 1
+          }
+          if (found < 0) return s
+          found
+        }
+      if (b >= 0xC2 && b <= 0xF4) hasLead = true
+      bytes(i) = b.toByte
+      i += 1
+    }
+    if (!hasLead) return s
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try {
+      val out = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+      if (out.length < s.length) out else s
+    } catch {
+      case _: java.nio.charset.CharacterCodingException => s
+    }
+  }
+}

@@ -204,6 +204,7 @@ object GraftFunctions {
   val PctNormName = "graft_pctnorm"
   val IdnName = "graft_idn"
   val RepStatsName = "graft_repstats"
+  val MojibakeName = "graft_fix_mojibake"
   import org.apache.spark.sql.graft.ColumnBridge
 
   /** Codegen'd Unicode NFC normalization as a Column. */
@@ -228,6 +229,10 @@ object GraftFunctions {
     */
   def repStats(s: Column): Column =
     ColumnBridge.column(RepetitionStats(ColumnBridge.expression(s)))
+
+  /** Codegen'd mojibake (double-encoded UTF-8) repair as a Column. */
+  def fixMojibake(s: Column): Column =
+    ColumnBridge.column(FixMojibake(ColumnBridge.expression(s)))
 
   /** Codegen'd single-pass distinct character k-shingles as a Column. */
   def charShingles(s: Column, k: Int): Column =
@@ -287,6 +292,7 @@ object GraftFunctions {
     one(PctNormName, PercentNormalize)
     one(IdnName, IdnAscii)
     one(RepStatsName, RepetitionStats)
+    one(MojibakeName, FixMojibake)
     withLitInt("graft_char_shingles", CharShingles)
     withLitInt("graft_word_grams", WordGrams)
     reg.createOrReplaceTempFunction("graft_winnow", { exprs =>

@@ -2,7 +2,7 @@ package graft.job
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Pii, TextAnalysis, Urls}
+import graft.ops.{Dedup, Pii, Sampling, TextAnalysis, Urls}
 
 /** The composed LLM-training-data flagship (VERDICT r5 "next" #1):
   * extraction output → URL canonicalization → exact text dedup →
@@ -89,6 +89,27 @@ object CorpusPipeline {
     * duplicates must not count against a host's budget. Uses the
     * codegen'd xxhash64 rank (`Urls.xxRank`); adds a `6_host_cap`
     * stage row when enabled.
+    *
+    * `repairMojibake` (r6, opt-in) runs the q25 double-encoded-UTF-8
+    * repair on input texts BEFORE the gate and the dedup stages on
+    * purpose: a page crawled once clean and once through a cp1252
+    * mis-decode is the same document, and only repairing FIRST lets
+    * exact dedup see the same digest (mirrors the d10-before-dedup
+    * rationale). The repair is a per-row codegen'd expression — no
+    * extra shuffle, it rides the input projection.
+    *
+    * `decontamBench` (r6, opt-in) drops SURVIVORS sharing more than
+    * `maxContamFrac` of their distinct word `decontamN`-gram windows
+    * with the given benchmark/eval table (d12; GPT-3-style eval
+    * decontamination). Runs near the END on purpose: the benchmark
+    * digest set broadcasts, so the check is cheapest after dedup/caps
+    * shrank the corpus side. Adds a `7_decontam` stage row.
+    *
+    * `sampleByLang` (r6, opt-in) applies the q24 deterministic
+    * stratified sampler to the final survivors, stratified by the
+    * codegen'd langid of each text and keyed on url with the xxhash64
+    * rank — per-language corpus mixing as the last pipeline step.
+    * Adds an `8_sample` stage row.
     */
   def run(extracted: DataFrame,
           k: Int = 5, numHashes: Int = 32, bands: Int = 8,
@@ -100,11 +121,19 @@ object CorpusPipeline {
           maxDupLineFrac: Double = 1.0, scrubPii: Boolean = false,
           boilerplateLineMinDocs: Option[Int] = None,
           maxDocsPerHost: Option[Int] = None,
+          repairMojibake: Boolean = false,
+          decontamBench: Option[DataFrame] = None,
+          decontamN: Int = 8, maxContamFrac: Double = 0.0,
+          sampleByLang: Option[Map[String, Double]] = None,
           checkpoint: DataFrame => DataFrame = _.localCheckpoint()): Result = {
     val spark = extracted.sparkSession
 
+    val input0 = extracted.select(col("url"), col("text")).filter(col("text").isNotNull)
     val input = checkpoint(
-      extracted.select(col("url"), col("text")).filter(col("text").isNotNull))
+      if (repairMojibake)
+        input0.withColumn("text",
+          graft.functions.GraftFunctions.fixMojibake(col("text")))
+      else input0)
 
     // cheap per-row quality gate before any shuffle: degenerate
     // documents must not pay canonicalization/minhash cost
@@ -160,11 +189,33 @@ object CorpusPipeline {
         checkpoint(Urls.capPerDomain(deduped, cap, rank = Urls.xxRank))
       case None => deduped
     }
+    // opt-in d12: eval-set decontamination over the survivors — the
+    // benchmark gram digests broadcast, survivors' grams never shuffle
+    val decontamed = decontamBench match {
+      case Some(bench) =>
+        val bad = Dedup.contaminationStats(
+          keptRaw.select(col("url").as("doc_id"), col("text")), bench, decontamN)
+          .filter(col("contam_frac") > maxContamFrac)
+          .select(col("doc_id").as("url"))
+        checkpoint(keptRaw.join(bad, Seq("url"), "left_anti"))
+      case None => keptRaw
+    }
+    // opt-in q24: per-language mixing rates over the final set — a
+    // pure deterministic filter (langid + xxhash64 rank, both codegen'd)
+    val sampled = sampleByLang match {
+      case Some(rates) =>
+        checkpoint(Sampling.stratifiedSample(
+          decontamed.withColumn("lang",
+            graft.functions.GraftFunctions.langid(col("text"))),
+          rates, strataCol = "lang", keyCol = "url", rank = Urls.xxRank)
+          .drop("lang"))
+      case None => decontamed
+    }
     // post-dedup projection: counts below are over the deduped set,
     // the scrub only rewrites the emitted text column
     val kept =
-      if (scrubPii) keptRaw.withColumn("text", Pii.scrub(col("text")))
-      else keptRaw
+      if (scrubPii) sampled.withColumn("text", Pii.scrub(col("text")))
+      else sampled
 
     // scalar counts over materialized frames — bounded driver data
     val counts = Seq(
@@ -174,6 +225,10 @@ object CorpusPipeline {
       ("4_exact_dedup", byText.count()),
       ("5_neardup_kept", deduped.count())) ++
       (if (maxDocsPerHost.isDefined) Seq(("6_host_cap", keptRaw.count()))
+       else Seq.empty) ++
+      (if (decontamBench.isDefined) Seq(("7_decontam", decontamed.count()))
+       else Seq.empty) ++
+      (if (sampleByLang.isDefined) Seq(("8_sample", sampled.count()))
        else Seq.empty)
     import scala.jdk.CollectionConverters._
     val stages = spark.createDataFrame(

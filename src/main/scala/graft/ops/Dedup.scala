@@ -424,6 +424,50 @@ object Dedup {
           .otherwise(lit(0.0)))
   }
 
+  /** Benchmark decontamination (d12) — the eval-overlap check every
+    * training-data pipeline runs before a corpus ships (GPT-3 appendix
+    * C; Lee et al. 2022 §6): for each corpus document, how many of its
+    * distinct word n-gram windows also appear in a benchmark/eval-set
+    * table. A document sharing windows with the test set leaks the
+    * benchmark into training; `contam_frac` is the triage signal and
+    * the pipeline's `decontamBench` option drops offenders.
+    *
+    * SCALE SHAPE — the asymmetry is the whole design: the corpus is
+    * 100 TB but eval sets are megabytes, so the benchmark side reduces
+    * to a DISTINCT gram-digest set (md5, 16 bytes/gram) and BROADCASTS.
+    * The corpus gram explode then left-semi joins map-side — corpus
+    * grams NEVER shuffle; the only exchange is the per-doc count
+    * aggregation (partial map-side, one long per doc). Compare d11,
+    * which must shuffle corpus grams because both sides of its
+    * frequency question are the corpus itself.
+    *
+    * The gram unit matches d11 (distinct word n-grams via the
+    * single-pass `WordGrams` expression), so both stats read on the
+    * same scale. Digests are compared, not gram strings — the
+    * broadcast stays small even for n=13-word windows.
+    */
+  def contaminationStats(docs: DataFrame, bench: DataFrame, n: Int = 8,
+                         textCol: String = "text"): DataFrame = {
+    val benchGrams = bench
+      .select(explode(ngramCol(col(textCol), n)).as("gram"))
+      .select(md5(col("gram")).as("g"))
+      .distinct()
+    val grams = docs.select(col("doc_id"),
+      explode(ngramCol(col(textCol), n)).as("gram"))
+      .select(col("doc_id"), md5(col("gram")).as("g"))
+    val perDoc = grams.join(broadcast(benchGrams), Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contam_windows"))
+    docs.select(col("doc_id"),
+      size(ngramCol(col(textCol), n)).cast("long").as("n_windows"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_contam_windows"), lit(0L)).as("n_contam_windows"))
+      .withColumn("contam_frac",
+        when(col("n_windows") > 0,
+          round(col("n_contam_windows").cast("double") / col("n_windows"), 6))
+          .otherwise(lit(0.0)))
+  }
+
   /** Cross-corpus boilerplate LINE removal (d10) — the C4/RefinedWeb
     * curation step document-level dedup cannot express: a line whose
     * exact text appears in ≥ `minDocs` DISTINCT documents (cookie

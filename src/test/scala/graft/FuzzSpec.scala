@@ -177,6 +177,7 @@ class FuzzSpec extends AnyFunSuite {
       twice(graft.functions.PercentNormalizeImpl.normalize(u))
       twice(graft.functions.IdnAsciiImpl.toAscii(u))
       twice(graft.functions.LangIdImpl.detect(u))
+      twice(graft.functions.MojibakeImpl.fixStr(sb.toString))
       val st = org.apache.spark.sql.types.StringType
       val lt = org.apache.spark.sql.types.LongType
       val k = 1 + rng.nextInt(8)

@@ -141,4 +141,40 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
     assert(!p.contains("InMemoryTableScan"), p)
   }
+
+  test("d12/q24/q25: decontam broadcasts the bench side; sampling and repair are pure filters/projections (r6b)") {
+    // d12: the eval-set digest side must broadcast — corpus grams never
+    // shuffle toward the benchmark
+    val p12 = plan("d12_decontam")
+    assert(p12.contains("BroadcastExchange"), p12)
+    assert(!p12.contains("CartesianProduct"), p12)
+    assert(!p12.contains("Window"), p12)
+    // q24: a pure per-row filter + the stats aggregation — no window,
+    // no sort on the data path
+    val p24 = plan("q24_sample_stratified")
+    assert(!p24.contains("Window"), p24)
+    assert(!p24.contains("CartesianProduct"), p24)
+    // q25: mojibake repair is a projection — no exchange at all before
+    // the final orderBy
+    val p25 = plan("q25_mojibake")
+    assert(!p25.contains("Window"), p25)
+    assert(p25.contains("graft_fix_mojibake") || p25.contains("Project"), p25)
+
+    // the full-lineage pipeline with ALL r6 options on stays clean
+    import org.apache.spark.sql.functions._
+    val docs = spark.range(0, 30).select(
+      concat(lit("https://h.io/p"), col("id")).as("url"),
+      concat(lit("text body shared prefix words here count "), col("id")).as("text"))
+    val bench = spark.range(0, 2).select(col("id").as("bench_id"),
+      concat(lit("bench item words that never match anything "), col("id")).as("text"))
+    val res = graft.job.CorpusPipeline.run(docs,
+      boilerplateLineMinDocs = Some(5), maxDocsPerHost = Some(10),
+      repairMojibake = true, decontamBench = Some(bench),
+      sampleByLang = Some(Map("fr" -> 0.5)),
+      checkpoint = df => df)
+    val p = res.kept.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("InMemoryTableScan"), p)
+  }
 }

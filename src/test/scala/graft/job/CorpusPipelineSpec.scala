@@ -176,4 +176,70 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert((1 to 4).forall(i => kept.contains(s"https://h1.com/f$i") &&
       kept.contains(s"https://h2.com/f$i")), kept.keySet.toString)
   }
+
+  test("optional mojibake repair, decontamination and sampling (r6)") {
+    import scala.jdk.CollectionConverters._
+    def base(tag: String, n: Int = 40) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val cp1252 = java.nio.charset.Charset.forName("windows-1252")
+    def corrupt(s: String) =
+      new String(s.getBytes(java.nio.charset.StandardCharsets.UTF_8), cp1252)
+
+    // every word carries an umlaut: the corrupted twin shares NO word
+    // gram with the clean crawl, so near-dup can't collapse them and
+    // the collapse observed below is attributable to the repair alone
+    val article = "ein Artikel über die Straße " +
+      (1 to 40).map(i => s"wört$i").mkString(" ") + " Ende"
+    val evalText = s"benchmark question ${base("evalitem", 20)} answer choices follow"
+    val rows = Seq(
+      // the same German article crawled clean and through a cp1252
+      // mis-decode: only repairing FIRST lets exact dedup collapse them
+      ("https://m.com/clean", article),
+      ("https://m.com/moji", corrupt(article)),
+      // a document leaking the eval set verbatim inside other prose
+      ("https://leak.com/x", s"intro words here $evalText closing words here"),
+      // honest survivors
+      ("https://ok.com/a", s"some normal document ${base("norm")}"),
+      ("https://ok.com/b", s"otro documento en español que habla de una casa y el niño ${base("esp")}"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("url", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val df = spark.createDataFrame(
+      rows.map(r => org.apache.spark.sql.Row(r._1, r._2)).asJava, schema)
+    val benchSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("bench_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val bench = spark.createDataFrame(
+      Seq(org.apache.spark.sql.Row(1L, evalText)).asJava, benchSchema)
+
+    // all three off: mojibake twin survives distinct, leak survives,
+    // no 7_/8_ stage rows
+    val off = CorpusPipeline.run(df)
+    val offKept = off.kept.collect().map(_.getString(0)).toSet
+    assert(offKept == rows.map(_._1).toSet, offKept.toString)
+    assert(!off.stages.collect().map(_.getString(0)).exists(s =>
+      s.startsWith("7_") || s.startsWith("8_")))
+
+    val on = CorpusPipeline.run(df, repairMojibake = true,
+      decontamBench = Some(bench))
+    val stages = on.stages.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = on.kept.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // repair first -> the two crawls share one digest; min url wins
+    assert(kept.contains("https://m.com/clean") && !kept.contains("https://m.com/moji"),
+      kept.keySet.toString)
+    assert(stages("4_exact_dedup") == stages("3_url_canon_dedup") - 1, stages.toString)
+    // kept text is the REPAIRED text
+    assert(kept("https://m.com/clean") == article)
+    // the eval leak is dropped by d12, honest docs survive
+    assert(!kept.contains("https://leak.com/x"), kept.keySet.toString)
+    assert(stages("7_decontam") == stages("5_neardup_kept") - 1, stages.toString)
+
+    // sampling: drop the Spanish stratum entirely, keep everything else
+    val sam = CorpusPipeline.run(df, repairMojibake = true,
+      sampleByLang = Some(Map("es" -> 0.0)))
+    val samKept = sam.kept.collect().map(_.getString(0)).toSet
+    assert(!samKept.contains("https://ok.com/b"), samKept.toString)
+    assert(samKept.contains("https://ok.com/a"))
+    val samStages = sam.stages.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(samStages("8_sample") == samStages("5_neardup_kept") - 1, samStages.toString)
+  }
 }

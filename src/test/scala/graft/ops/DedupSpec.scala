@@ -351,4 +351,30 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(soloOut(1L) == Seq.fill(10)("my own refrain").mkString("\n"))
   }
+
+  test("contaminationStats: benchmark overlap counted exactly (d12)") {
+    val d = docs(
+      // 9 words -> 7 trigram windows; "quick brown fox", "brown fox jumps"
+      // overlap the benchmark -> 2/7
+      1L -> "the quick brown fox jumps over the lazy dog",
+      // disjoint vocabulary -> 0 contaminated windows
+      2L -> "completely different words here entirely now",
+      // doc IS a benchmark item verbatim -> every window contaminated
+      3L -> "quick brown fox jumps",
+      // under n words -> ONE short gram, not in the benchmark
+      4L -> "tiny doc")
+    val bench = docs(100L -> "quick brown fox jumps")
+      .withColumnRenamed("doc_id", "bench_id")
+    val out = Dedup.contaminationStats(d, bench, n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((7L, 2L, 0.285714)), out(1L).toString)
+    assert(out(2L) == ((4L, 0L, 0.0)))
+    assert(out(3L) == ((2L, 2L, 1.0)))
+    assert(out(4L) == ((1L, 0L, 0.0)))
+    // the benchmark side must broadcast: corpus grams never shuffle
+    // toward the (tiny) eval set
+    val plan = Dedup.contaminationStats(d, bench, n = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan.take(2000))
+  }
 }
