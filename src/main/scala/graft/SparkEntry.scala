@@ -431,6 +431,21 @@ object SparkEntry {
         .orderBy("doc_id").limit(2000)
     }),
 
+    // corpus-LM quality score (q26, r6c): mean log document-frequency
+    // of each doc's distinct char trigrams — the CCNet quality idea
+    // with the corpus itself as the model. A garbled twin of every
+    // 25th doc is planted (vowels swapped for rare punctuation, which
+    // destroys its trigram inventory) and must score strictly below
+    // its clean original — the oracle recomputes df and score from
+    // scratch in SQL over the identical seeded corpus.
+    "q26_lm_quality" -> ((s, dir) => {
+      val base = docs(s, dir).select("doc_id", "text")
+      val garbled = base.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 30000000L).as("doc_id"),
+          translate(col("text"), "aeiou", "#@|^~").as("text"))
+      TextAnalysis.lmQuality(base.unionByName(garbled))
+    }),
+
     // ---- dedup / similarity / fingerprint (Spark-only oracles) ----
     "d1_exact_dedup_groups" -> ((s, dir) => Dedup.exact(docsWithDups(s, dir))),
     "d2_minhash_pairs" -> ((s, dir) => Dedup.minhashPairs(docsWithDups(s, dir))),
@@ -519,6 +534,21 @@ object SparkEntry {
       val dim = embDim(s, dir)
       Similarity.cosineNearDups(emb, dim).select("vec_a", "vec_b")
     }),
+    // SemDeDup (s7, r6c): embedding-space semantic dedup — k-means
+    // cells over L2-normalized embeddings, within-cell cosine prune.
+    // The planted scaled copies (embWithDups, cos = 1 to their
+    // originals) MUST drop; k-means cells aren't SQL-expressible →
+    // rows-only here, value-gated in SimilaritySpec.
+    "s7_semdedup" -> ((s, dir) => {
+      val emb = embWithDups(s, dir)
+      Similarity.semDedup(emb, embDim(s, dir)).orderBy("vec_id")
+    }),
+    // Portable SemDeDup twin (s8, r6c): axis-sign cells + DOUBLE
+    // cosine put the whole prune under the DuckDB oracle (the d6-to-d2
+    // pattern). Planted copies are exact-scale (x*2.0f — exact in
+    // float, so the double casts agree bit-for-bit across engines).
+    "s8_semdedup_portable" -> ((s, dir) =>
+      Similarity.semDedupPortable(embWithDups(s, dir)).orderBy("vec_id")),
 
     // ---- multimodal plumbing (stubbed codec, real Spark shape) ----
     "m1_media_features" -> ((s, _) =>
@@ -907,6 +937,47 @@ object SparkEntry {
           "SELECT query_id, vec_id, rank FROM (SELECT query_id, vec_id, " +
           "CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank " +
           "FROM scored) t WHERE rank <= 10 ORDER BY query_id, rank"),
+      // portable SemDeDup twin (s8): the oracle rebuilds the planted
+      // scaled copies, the axis-sign cells AND the within-cell cosine
+      // prune from scratch in SQL — an independent implementation of
+      // the whole operator, not a formula mirror. x*2 is exact in
+      // float, so the double casts agree across engines; organic pairs
+      // max out at cos ~0.51 (measured) vs the 0.92 threshold, so no
+      // pair sits near the float boundary
+      "s8_semdedup_portable" ->
+        ("WITH base AS (SELECT vec_id, embedding FROM embeddings), " +
+          "cop AS (SELECT vec_id + 10000000 AS vec_id, " +
+          "list_transform(embedding, x -> CAST(x AS DOUBLE) * 2) AS embedding " +
+          "FROM base WHERE vec_id % 101 = 0), " +
+          "alle AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v " +
+          "FROM (SELECT * FROM base UNION ALL SELECT * FROM cop)), " +
+          "c AS (SELECT vec_id, v, " +
+          "((v[1] > 0)::INT + 2*(v[2] > 0)::INT + 4*(v[3] > 0)::INT + 8*(v[4] > 0)::INT) AS cell " +
+          "FROM alle), " +
+          "drp AS (SELECT DISTINCT b.vec_id FROM c a JOIN c b " +
+          "ON a.cell = b.cell AND a.vec_id < b.vec_id " +
+          "WHERE list_dot_product(a.v, b.v) / " +
+          "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) + 1e-12) >= 0.92) " +
+          "SELECT c.vec_id, c.cell, (d.vec_id IS NULL) AS kept " +
+          "FROM c LEFT JOIN drp d ON c.vec_id = d.vec_id ORDER BY c.vec_id"),
+      // corpus-LM quality (q26): df table and score recomputed from
+      // scratch over the identically seeded corpus (clean + garbled
+      // twins); gram slice = the proven d6 substr CTE at k=3
+      "q26_lm_quality" ->
+        ("WITH seeded AS (SELECT doc_id, text FROM documents " +
+          "UNION ALL SELECT doc_id + 30000000, translate(text, 'aeiou', '#@|^~') " +
+          "FROM documents WHERE doc_id % 25 = 0), " +
+          "g AS (SELECT doc_id, md5(gram) AS g FROM (SELECT doc_id, " +
+          "unnest(list_distinct([substr(text, i, 3) " +
+          "for i in range(1, greatest(length(text) - 2, 1) + 1)])) AS gram FROM seeded)), " +
+          "dfreq AS (SELECT g, COUNT(*) AS df FROM g GROUP BY g), " +
+          "n AS (SELECT COUNT(*) AS n_docs FROM seeded), " +
+          "per AS (SELECT doc_id, COUNT(*) AS n_grams, AVG(ln(CAST(df AS DOUBLE))) AS avg_ln_df " +
+          "FROM g JOIN dfreq USING (g) GROUP BY doc_id) " +
+          "SELECT s.doc_id, CAST(COALESCE(per.n_grams, 0) AS BIGINT) AS n_grams, " +
+          "CASE WHEN per.n_grams IS NOT NULL " +
+          "THEN ROUND(per.avg_ln_df - ln(CAST(n.n_docs AS DOUBLE)), 4) ELSE 0.0 END AS lm_score " +
+          "FROM seeded s LEFT JOIN per USING (doc_id) CROSS JOIN n ORDER BY s.doc_id"),
       "q12_langid" ->
         (s"SELECT doc_id, CASE WHEN ($kana) > 0 THEN 'ja' " +
           s"WHEN ($hangul) > 0 THEN 'ko' " +

@@ -252,22 +252,25 @@ object Similarity {
     * the search itself — the 100 TB shape (cell assignment would be a
     * precomputed column/partition key at deploy scale).
     */
+  /** Squared L2 distance to a driver-held centroid, via dot products:
+    * |x|² − 2⟨x,c⟩ + |c|² (centroid shipped as float literals so the
+    * codegen'd FloatVecDot applies without an array cast).
+    */
+  private def cellDist(emb: Column, c: Array[Float]): Column = {
+    val cl = array(c.map(lit(_)): _*)
+    val c2 = c.map(v => v.toDouble * v.toDouble).sum
+    dot(emb, emb) - lit(2.0) * dot(emb, cl) + lit(c2)
+  }
+
+  /** Index of the nearest centroid. */
+  private def cellOf(emb: Column, centroids: Array[(Int, Array[Float])]): Column = {
+    val dists = array(centroids.map { case (_, c) => cellDist(emb, c) }: _*)
+    array_position(dists, array_min(dists)).cast("int") - 1
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
               nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val centroids = kmeansCentroids(corpus, dim, nCells)
-
-    def cellDist(emb: Column, c: Array[Float]): Column = {
-      val cl = array(c.map(lit(_)): _*) // float literals (matches emb element type)
-      // squared L2 via dot products: |x|^2 - 2<x,c> + |c|^2
-      val c2 = c.map(v => v.toDouble * v.toDouble).sum
-      dot(emb, emb) - lit(2.0) * dot(emb, cl) + lit(c2)
-    }
-
-    /** index of the nearest centroid. */
-    def cellOf(emb: Column): Column = {
-      val dists = array(centroids.map { case (_, c) => cellDist(emb, c) }: _*)
-      array_position(dists, array_min(dists)).cast("int") - 1
-    }
 
     /** the nProbe nearest cell ids for a query vector. */
     def probeCells(emb: Column): Column = {
@@ -277,7 +280,7 @@ object Similarity {
       slice(transform(array_sort(array(pairs: _*)), p => p.getField("cell")), 1, nProbe)
     }
 
-    val cb = corpus.withColumn("cell", cellOf(col("embedding")))
+    val cb = corpus.withColumn("cell", cellOf(col("embedding"), centroids))
     val qb = queries
       .withColumnRenamed("vec_id", "query_id")
       .withColumnRenamed("embedding", "q_emb")
@@ -347,5 +350,107 @@ object Similarity {
     hits.crossJoin(t.agg(count(lit(1)).as("total")))
       .select(lit(name).as("method"),
         round(col("hits").cast("double") / col("total"), 4).as("recall_at_k"))
+  }
+
+  /** Double-precision HOF cosine for the portable SemDeDup twin — the
+    * oracle (DuckDB `list_dot_product` over DOUBLE[]) computes in
+    * double, so the twin must too; FloatVecDot accumulates from float
+    * inputs and could disagree in the last bits at a threshold
+    * boundary. Oracle-path only (interpreted HOFs are fine off the
+    * production path).
+    */
+  private def cosineHof(a: Column, b: Column): Column =
+    dotHof(a, b) / (sqrt(dotHof(a, a)) * sqrt(dotHof(b, b)) + lit(1e-12))
+
+  /** Shared SemDeDup prune over a cell-assigned corpus
+    * (vec_id, embedding, cell): drop every vector that has a LOWER-id
+    * neighbor in the same cell at cosine ≥ minCos; emit
+    * (vec_id, cell, kept).
+    *
+    * The rule is ONE relational pass (within-cell equi-join +
+    * left join), not the paper's sequential greedy sweep — for tight
+    * duplicate groups (the SemDeDup regime: near-clique ε-balls at
+    * cos → 1) the two coincide: the min-id member survives and every
+    * other member sees it. Chains that are near-dup pairwise-only
+    * (A~B~C, A≁C) drop C here but keep it under the greedy sweep —
+    * the conservative direction for a dedup (never keeps a duplicate).
+    *
+    * Skew guard mirrors `cosineNearDups`: a degenerate cell of m rows
+    * is an O(m²) bomb, so over-cap cells opt OUT of pairing and their
+    * members are all KEPT — a cap must drop candidate PAIRS, never
+    * silently delete documents. The over-cap list is tiny (≤
+    * corpus/maxCell rows), broadcast into a left_anti so the wide
+    * embedding relation never shuffles for the guard.
+    */
+  private def semDedupPrune(assigned: DataFrame, minCos: Double, maxCell: Int,
+                            cos: (Column, Column) => Column): DataFrame = {
+    val overCap = assigned.groupBy("cell").agg(count(lit(1)).as("cell_n"))
+      .filter(col("cell_n") > maxCell).select("cell")
+    val bounded = assigned.join(broadcast(overCap), Seq("cell"), "left_anti")
+      .select("cell", "vec_id", "embedding")
+    val dropped = bounded.as("a").join(bounded.as("b"), Seq("cell"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .filter(cos(col("a.embedding"), col("b.embedding")) >= minCos)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    assigned.join(dropped.withColumn("hit", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("hit").isNull.as("kept"))
+  }
+
+  /** SemDeDup (s7) — embedding-space SEMANTIC deduplication (Abbas et
+    * al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication"): k-means cells bound the pair search,
+    * then within each cell any vector with a lower-id neighbor at
+    * cosine ≥ minCos is dropped. Catches what minhash cannot — same
+    * meaning, different words (translations, paraphrases, re-encodes)
+    * — and complements d1/d2/d9, which catch lexical duplication.
+    *
+    * Embeddings are L2-NORMALIZED before clustering (as in the paper):
+    * cosine only sees direction, so the quantizer must too — a scaled
+    * re-embed of the same page lands in the SAME cell exactly, which
+    * the un-normalized quantizer cannot promise. The norm is
+    * materialized ONCE per row and the transform lambda only
+    * references it (an attribute read — recomputing it inside the
+    * lambda is the r6 HOF-re-evaluation trap, O(dim²) per row).
+    *
+    * SCALE SHAPE: centroids are driver-held literals from a bounded
+    * sample (k-means cost independent of corpus size); cell assignment
+    * is a map-side projection; the only data shuffle is the within-cell
+    * self-join, and cells are corpus/nCells sized with the maxCell
+    * guard on skew. At 100 TB the cell id becomes a precomputed
+    * partition key and nCells grows with corpus size to hold cell
+    * populations flat.
+    */
+  def semDedup(corpus: DataFrame, dim: Int, minCos: Double = 0.92,
+               nCells: Int = 16, maxCell: Int = 10000): DataFrame = {
+    val normed = corpus
+      .withColumn("nrm", norm(col("embedding")) + lit(1e-12))
+      .withColumn("embedding",
+        transform(col("embedding"), x => x / col("nrm")).cast("array<float>"))
+      .select("vec_id", "embedding")
+    val centroids = kmeansCentroids(normed, dim, nCells)
+    val assigned = normed.withColumn("cell", cellOf(col("embedding"), centroids))
+    semDedupPrune(assigned, minCos, maxCell, cosine)
+  }
+
+  /** Portable SemDeDup twin (s8) — same prune rule with an
+    * ANSI-expressible quantizer, so the WHOLE operator sits under the
+    * DuckDB oracle (the d6-to-d2 pattern): cells are the axis-sign
+    * bucket of the first `signDims` coordinates — honest axis-aligned
+    * hyperplane LSH (sign-invariant under positive scaling, so
+    * same-direction duplicates share a cell by construction, no
+    * normalization step needed) — and cosine is computed in DOUBLE
+    * exactly as `list_dot_product` does. s7 stays the production path;
+    * this twin proves the prune logic against an independent SQL
+    * implementation.
+    */
+  def semDedupPortable(corpus: DataFrame, signDims: Int = 4,
+                       minCos: Double = 0.92, maxCell: Int = 10000): DataFrame = {
+    val v = corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val cellCol = (0 until signDims).map(i =>
+        when(element_at(col("embedding"), i + 1) > 0, lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
+    val assigned = v.withColumn("cell", cellCol)
+    semDedupPrune(assigned, minCos, maxCell, cosineHof)
   }
 }

@@ -235,4 +235,55 @@ object TextAnalysis {
   def fingerprints(docs: DataFrame, n: Int = 5, w: Int = 4): DataFrame =
     docs.select(col("doc_id"),
       graft.functions.GraftFunctions.winnow(col("text"), n, w).as("fps"))
+
+  /** Corpus-LM quality score (q26) — the CCNet idea (Wenzek et al.
+    * 2020: score documents under a language model trained on a trusted
+    * corpus; low likelihood ⇒ garbled/junk) recast so model and corpus
+    * are the same relational pipeline: the "model" is the character
+    * k-gram DOCUMENT FREQUENCY table of the corpus itself, and a
+    * document's score is the mean log document-frequency of its
+    * distinct k-grams,
+    *
+    *   lm_score(d) = mean_{g ∈ grams(d)} ln(df(g) / N).
+    *
+    * Text whose character sequences look like the rest of the corpus
+    * scores near 0; mojibake, base64 blobs, wrong-charset text and
+    * keyboard mash score far negative because their grams appear in
+    * few documents. No smoothing is needed: every gram of a scored
+    * document exists in the model with df ≥ 1 (train = score corpus).
+    * Scoring over the DISTINCT gram set (not token multiplicity) keeps
+    * the gram path on the linear single-pass `CharShingles` expression
+    * and makes the score a pure inventory property — repetition is
+    * q21's signal, not this one.
+    *
+    * SCALE SHAPE: grams ride as 16-byte md5 digests; df is a two-level
+    * hash agg on the digest; score is ONE digest-key shuffle join of
+    * corpus grams against the df table (both sides already partitioned
+    * by the same key — AQE handles the residual skew of stop-grams,
+    * whose df rows are single-digit bytes), then a per-doc hash agg.
+    * ln N folds in AFTER aggregation via a broadcast 1-row count, so
+    * the scalar never rides the gram rows. At 100 TB the df table can
+    * be trained once on a slice and reused (train ≠ score split), but
+    * the join shape is unchanged.
+    */
+  def lmQuality(docs: DataFrame, k: Int = 3): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.charShingles(col("text"), k)).as("gram"))
+      .select(col("doc_id"), md5(col("gram")).as("g"))
+    // grams are per-doc DISTINCT, so count(*) per digest = document freq
+    val dfreq = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    val perDoc = grams.join(dfreq, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        avg(log(col("df").cast("double"))).as("avg_ln_df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        when(col("n_grams").isNotNull,
+          round(col("avg_ln_df") - log(col("n_docs").cast("double")), 4))
+          .otherwise(lit(0.0)).as("lm_score"))
+      .orderBy("doc_id")
+  }
 }

@@ -177,4 +177,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
     assert(!p.contains("InMemoryTableScan"), p)
   }
+
+  test("s7/s8/q26: semantic dedup and LM quality plan no cartesian/window; cap guard broadcasts (r6c)") {
+    // SemDeDup (production + portable twin): within-cell pairing is an
+    // equi-join on the cell key; the over-cap guard and the dropped-id
+    // join must ride broadcasts, never a cartesian
+    Seq("s7_semdedup", "s8_semdedup_portable").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("Window"), s"$q:\n$p")
+      assert(p.contains("BroadcastExchange"), s"$q expected broadcast cap guard:\n$p")
+    }
+    // q26: ONE shuffle join of corpus gram digests against the df
+    // table; the doc-count scalar folds in AFTER aggregation via a
+    // 1-row broadcast, so it never rides the gram rows
+    val p26 = plan("q26_lm_quality")
+    assert(!p26.contains("CartesianProduct"), p26)
+    assert(!p26.contains("Window"), p26)
+    assert(p26.contains("BroadcastNestedLoopJoin") || p26.contains("BroadcastExchange"), p26)
+  }
 }

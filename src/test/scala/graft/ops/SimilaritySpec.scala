@@ -193,4 +193,74 @@ class SimilaritySpec extends AnyFunSuite {
     val n = Similarity.lshTopK(corpus, queries, 10, dim).count()
     assert(n == 50L, s"expected 50 rows, got $n")
   }
+
+  /** corpus + exact-direction duplicates for the SemDeDup tests: one
+    * scaled copy (cos = 1) of every 60th vector — copies MUST drop,
+    * originals and everything else MUST survive.
+    */
+  private def withScaledCopies(corpus: DataFrame): (DataFrame, Set[Long]) = {
+    val dups = corpus.filter(col("vec_id") % 60 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), x => x * 2.0f).as("embedding"))
+    (corpus.unionByName(dups),
+      corpus.filter(col("vec_id") % 60 === 0)
+        .collect().map(_.getLong(0) + 100000L).toSet)
+  }
+
+  test("semDedup drops planted semantic duplicates, keeps everything else (s7)") {
+    val (all, copyIds) = withScaledCopies(clustered(10, 30, 0.3))
+    // minCos 0.99: organic same-cluster pairs sit near cos ~0.92±0.04
+    // at noise 0.3 (they SHOULD be prunable at the default threshold —
+    // that's the operator working); only the exact-direction copies
+    // (cos = 1) clear 0.99, so the exact-set assertion is stable
+    val out = Similarity.semDedup(all, dim, minCos = 0.99).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    copyIds.foreach { id =>
+      assert(!out(id), s"scaled copy $id survived semDedup")
+    }
+    val dropped = out.filter(!_._2).keySet
+    assert(dropped == copyIds, s"unexpected drops: ${dropped -- copyIds}")
+  }
+
+  test("semDedupPortable equals a brute-force reference of its own rule (s8)") {
+    val (all, copyIds) = withScaledCopies(clustered(6, 20, 0.3))
+    val got = Similarity.semDedupPortable(all).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+    // brute-force reference: axis-sign cell + double cosine, all pairs
+    val vecs = all.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble)).toMap
+    def cell(v: Array[Double]): Int =
+      (0 until 4).map(i => if (v(i) > 0) 1 << i else 0).sum
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      def d(x: Array[Double], y: Array[Double]) =
+        x.zip(y).map { case (p, q) => p * q }.sum
+      d(a, b) / (math.sqrt(d(a, a)) * math.sqrt(d(b, b)) + 1e-12)
+    }
+    val want = vecs.map { case (id, v) =>
+      val dropped = vecs.exists { case (id2, v2) =>
+        id2 < id && cell(v2) == cell(v) && cos(v2, v) >= 0.92
+      }
+      (id, cell(v), !dropped)
+    }.toSet
+    assert(got == want)
+    copyIds.foreach(id => assert(!got.exists(t => t._1 == id && t._3),
+      s"scaled copy $id survived portable semDedup"))
+  }
+
+  test("semDedup over-cap cells opt out of pairing: members all KEPT, never dropped") {
+    val (all, _) = withScaledCopies(clustered(4, 15, 0.3))
+    // cap of 1 puts EVERY cell over cap -> no pairs form -> all kept
+    val out = Similarity.semDedupPortable(all, maxCell = 1).collect()
+    assert(out.forall(_.getBoolean(2)), "cap dropped documents (must only drop pairs)")
+  }
+
+  test("semDedup plans: no cartesian product, broadcast cap guard") {
+    val (all, _) = withScaledCopies(clustered(6, 20, 0.3))
+    Seq(Similarity.semDedup(all, dim), Similarity.semDedupPortable(all)).foreach { df =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"cartesian in semDedup plan:\n$p")
+      assert(!p.contains("Window"), s"window in semDedup plan:\n$p")
+      assert(p.contains("BroadcastExchange"), "expected broadcast cap guard / drop join")
+    }
+  }
 }

@@ -118,4 +118,38 @@ class TextAnalysisSpec extends AnyFunSuite {
       org.apache.spark.sql.functions.col("text")).as("p")).collect().map(_.getString(0))
     assert(preds.forall(_ == "en"), preds.mkString(","))
   }
+
+  test("lmQuality (q26): garbled text scores strictly below ordinary prose") {
+    // ten ordinary sentences share trigram inventory (high df); the
+    // mash/base64-ish rows have grams nobody else has (df = 1)
+    val clean = (0 until 10).map { i =>
+      (i.toLong, s"the quick brown fox jumps over the lazy dog near the river bank $i")
+    }
+    val junk = Seq(
+      (100L, "Zm9vYmFyYmF6cXV4QUJDREVGR0hJSktMTU5PUFFSU1RVVldYWVo0ODcxMjM0"),
+      (101L, "xq#v@z!pq%mw^kt&rj*bn(lh)dv_cs+fg=yz~qx`wp[ke]mv{zn}"))
+    val df = spark.createDataFrame(clean ++ junk).toDF("doc_id", "text")
+    val scores = TextAnalysis.lmQuality(df).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val worstClean = (0 until 10).map(i => scores(i.toLong)).min
+    Seq(100L, 101L).foreach { id =>
+      assert(scores(id) < worstClean,
+        s"junk doc $id scored ${scores(id)} >= cleanest-min $worstClean")
+    }
+    // score is bounded: ln(1/N) <= score <= 0
+    val n = df.count().toDouble
+    scores.values.foreach(v => assert(v <= 0.0 && v >= math.log(1.0 / n) - 1e-4, v.toString))
+  }
+
+  test("lmQuality: identical documents share an identical score; short text is total") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "same text here"), (2L, "same text here"),
+      (3L, "ab"), (4L, ""))).toDF("doc_id", "text")
+    val rows = TextAnalysis.lmQuality(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(rows(1L) == rows(2L))
+    // short/empty text degenerates to its single whole-string shingle
+    assert(rows(3L)._1 == 1L && rows(4L)._1 == 1L)
+    assert(rows.size == 4)
+  }
 }
