@@ -2,7 +2,7 @@ package graft.job
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Pii, Sampling, TextAnalysis, Urls}
+import graft.ops.{Dedup, Pii, Sampling, Similarity, TextAnalysis, Urls}
 
 /** The composed LLM-training-data flagship (VERDICT r5 "next" #1):
   * extraction output → URL canonicalization → exact text dedup →
@@ -110,6 +110,19 @@ object CorpusPipeline {
     * codegen'd langid of each text and keyed on url with the xxhash64
     * rank — per-language corpus mixing as the last pipeline step.
     * Adds an `8_sample` stage row.
+    *
+    * `semDedupEmbeddings` (r6c, opt-in) runs s7 SemDeDup over the
+    * near-dup survivors given an (url, embedding: array<float>) table:
+    * SEMANTIC duplicates — same meaning, different words — that the
+    * lexical exact/minhash stages cannot see. Placed AFTER near-dup
+    * clustering (the lexical stages already removed cheap duplicates,
+    * so the embedding join and pair search run on the smallest set)
+    * and BEFORE the host cap (semantic dups must not count against a
+    * host's budget, mirroring the near-dup rationale). "Lower id
+    * wins" on the url key matches the pipeline's canonical-min-url
+    * convention everywhere else. Survivors WITHOUT an embedding row
+    * are kept unconditionally — a missing embedding must never delete
+    * a document. Adds a `5b_semdedup` stage row.
     */
   def run(extracted: DataFrame,
           k: Int = 5, numHashes: Int = 32, bands: Int = 8,
@@ -125,6 +138,8 @@ object CorpusPipeline {
           decontamBench: Option[DataFrame] = None,
           decontamN: Int = 8, maxContamFrac: Double = 0.0,
           sampleByLang: Option[Map[String, Double]] = None,
+          semDedupEmbeddings: Option[DataFrame] = None,
+          semDedupMinCos: Double = 0.92,
           checkpoint: DataFrame => DataFrame = _.localCheckpoint()): Result = {
     val spark = extracted.sparkSession
 
@@ -182,12 +197,31 @@ object CorpusPipeline {
     val losers = labels.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("url"))
     val deduped = checkpoint(byText.join(losers, Seq("url"), "left_anti"))
+    // opt-in s7: SEMANTIC dedup over the lexical survivors — docs
+    // without an embedding row never enter the prune (inner join),
+    // so they are kept unconditionally
+    val semDeduped = semDedupEmbeddings match {
+      case Some(embTable) =>
+        val emb = deduped.select("url")
+          .join(embTable.select(col("url"), col("embedding")), Seq("url"))
+        // dim from one bounded row (embeddings are fixed-width)
+        emb.select(size(col("embedding"))).limit(1).collect().headOption match {
+          case Some(r) =>
+            val dim = r.getInt(0)
+            val drops = Similarity.semDedup(emb, dim,
+                minCos = semDedupMinCos, idCol = "url")
+              .filter(!col("kept")).select("url")
+            checkpoint(deduped.join(drops, Seq("url"), "left_anti"))
+          case None => deduped // no survivor has an embedding
+        }
+      case None => deduped
+    }
     // opt-in q23: per-host budget over the SURVIVORS (dups don't count
     // against a host); xxhash64 rank — deterministic, no window
     val keptRaw = maxDocsPerHost match {
       case Some(cap) =>
-        checkpoint(Urls.capPerDomain(deduped, cap, rank = Urls.xxRank))
-      case None => deduped
+        checkpoint(Urls.capPerDomain(semDeduped, cap, rank = Urls.xxRank))
+      case None => semDeduped
     }
     // opt-in d12: eval-set decontamination over the survivors — the
     // benchmark gram digests broadcast, survivors' grams never shuffle
@@ -224,6 +258,8 @@ object CorpusPipeline {
       ("3_url_canon_dedup", byUrl.count()),
       ("4_exact_dedup", byText.count()),
       ("5_neardup_kept", deduped.count())) ++
+      (if (semDedupEmbeddings.isDefined) Seq(("5b_semdedup", semDeduped.count()))
+       else Seq.empty) ++
       (if (maxDocsPerHost.isDefined) Seq(("6_host_cap", keptRaw.count()))
        else Seq.empty) ++
       (if (decontamBench.isDefined) Seq(("7_decontam", decontamed.count()))

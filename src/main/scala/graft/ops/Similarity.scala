@@ -210,9 +210,10 @@ object Similarity {
     * Replaces round-1's "first 16 vectors ARE the centroids".
     */
   def kmeansCentroids(corpus: DataFrame, dim: Int, nCells: Int,
-                      iters: Int = 5, sampleN: Int = 1024): Array[(Int, Array[Float])] = {
+                      iters: Int = 5, sampleN: Int = 1024,
+                      idCol: String = "vec_id"): Array[(Int, Array[Float])] = {
     val sample: Array[Array[Double]] = corpus
-      .orderBy("vec_id").limit(sampleN)
+      .orderBy(idCol).limit(sampleN)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
     require(sample.nonEmpty, "empty corpus")
@@ -383,17 +384,18 @@ object Similarity {
     * embedding relation never shuffles for the guard.
     */
   private def semDedupPrune(assigned: DataFrame, minCos: Double, maxCell: Int,
-                            cos: (Column, Column) => Column): DataFrame = {
+                            cos: (Column, Column) => Column,
+                            idCol: String): DataFrame = {
     val overCap = assigned.groupBy("cell").agg(count(lit(1)).as("cell_n"))
       .filter(col("cell_n") > maxCell).select("cell")
     val bounded = assigned.join(broadcast(overCap), Seq("cell"), "left_anti")
-      .select("cell", "vec_id", "embedding")
+      .select("cell", idCol, "embedding")
     val dropped = bounded.as("a").join(bounded.as("b"), Seq("cell"))
-      .filter(col("a.vec_id") < col("b.vec_id"))
+      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
       .filter(cos(col("a.embedding"), col("b.embedding")) >= minCos)
-      .select(col("b.vec_id").as("vec_id")).distinct()
-    assigned.join(dropped.withColumn("hit", lit(1)), Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cell"), col("hit").isNull.as("kept"))
+      .select(col(s"b.$idCol").as(idCol)).distinct()
+    assigned.join(dropped.withColumn("hit", lit(1)), Seq(idCol), "left")
+      .select(col(idCol), col("cell"), col("hit").isNull.as("kept"))
   }
 
   /** SemDeDup (s7) — embedding-space SEMANTIC deduplication (Abbas et
@@ -421,15 +423,16 @@ object Similarity {
     * populations flat.
     */
   def semDedup(corpus: DataFrame, dim: Int, minCos: Double = 0.92,
-               nCells: Int = 16, maxCell: Int = 10000): DataFrame = {
+               nCells: Int = 16, maxCell: Int = 10000,
+               idCol: String = "vec_id"): DataFrame = {
     val normed = corpus
       .withColumn("nrm", norm(col("embedding")) + lit(1e-12))
       .withColumn("embedding",
         transform(col("embedding"), x => x / col("nrm")).cast("array<float>"))
-      .select("vec_id", "embedding")
-    val centroids = kmeansCentroids(normed, dim, nCells)
+      .select(idCol, "embedding")
+    val centroids = kmeansCentroids(normed, dim, nCells, idCol = idCol)
     val assigned = normed.withColumn("cell", cellOf(col("embedding"), centroids))
-    semDedupPrune(assigned, minCos, maxCell, cosine)
+    semDedupPrune(assigned, minCos, maxCell, cosine, idCol)
   }
 
   /** Portable SemDeDup twin (s8) — same prune rule with an
@@ -451,6 +454,6 @@ object Similarity {
         when(element_at(col("embedding"), i + 1) > 0, lit(1 << i)).otherwise(lit(0)))
       .reduce(_ + _)
     val assigned = v.withColumn("cell", cellCol)
-    semDedupPrune(assigned, minCos, maxCell, cosineHof)
+    semDedupPrune(assigned, minCos, maxCell, cosineHof, "vec_id")
   }
 }

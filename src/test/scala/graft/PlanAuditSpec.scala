@@ -195,5 +195,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p26.contains("CartesianProduct"), p26)
     assert(!p26.contains("Window"), p26)
     assert(p26.contains("BroadcastNestedLoopJoin") || p26.contains("BroadcastExchange"), p26)
+
+    // pipeline `5b_semdedup` stage audited through its own identity
+    // seam — NOT added to the every-option test above: SemDeDup's
+    // bounded driver collects (k-means sample, dim probe) re-execute
+    // the full un-truncated lineage under an identity checkpoint, so
+    // combining it with all six other options multiplies an already
+    // heavy audit for no extra plan information
+    import org.apache.spark.sql.functions._
+    val docs = spark.range(0, 20).select(
+      concat(lit("https://h.io/p"), col("id")).as("url"),
+      concat(lit("text body shared prefix words here count "), col("id")).as("text"))
+    val emb = spark.range(0, 8).select(
+      concat(lit("https://h.io/p"), col("id")).as("url"),
+      array(lit(0.5f), (col("id") % 3).cast("float") - lit(1.0f),
+        lit(-0.5f), lit(0.25f)).as("embedding"))
+    val res = graft.job.CorpusPipeline.run(docs,
+      semDedupEmbeddings = Some(emb), checkpoint = df => df)
+    val p = res.kept.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("InMemoryTableScan"), p)
   }
 }

@@ -242,4 +242,42 @@ class CorpusPipelineSpec extends AnyFunSuite {
     val samStages = sam.stages.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(samStages("8_sample") == samStages("5_neardup_kept") - 1, samStages.toString)
   }
+
+  test("optional semantic dedup via embeddings (r6c)") {
+    import scala.jdk.CollectionConverters._
+    // two documents that share NOTHING lexically (no common word gram
+    // — exact/minhash stages cannot touch them) but whose embeddings
+    // point the same direction: the translation-duplicate case only
+    // SemDeDup sees. Plus an orthogonal-embedding doc and one with no
+    // embedding row at all (must be kept unconditionally).
+    val rows = Seq(
+      ("https://sem.com/a-english", "the weather in paris stays sunny most of the spring season"),
+      ("https://sem.com/b-german", "das wetter bleibt im gesamten fruehjahr meistens recht freundlich"),
+      ("https://sem.com/c-other", "a treatise on deep sea fish and their bioluminescent organs"),
+      ("https://sem.com/d-noemb", "document carrying no embedding row but plenty of ordinary words"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("url", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val df = spark.createDataFrame(
+      rows.map(r => org.apache.spark.sql.Row(r._1, r._2)).asJava, schema)
+    val e = Seq(0.6f, 0.8f, 0.1f, -0.2f)
+    val emb = spark.createDataFrame(Seq(
+      ("https://sem.com/a-english", e),
+      ("https://sem.com/b-german", e.map(_ * 2.0f)),   // same direction, cos = 1
+      ("https://sem.com/c-other", Seq(-0.8f, 0.6f, 0.0f, 0.3f))))
+      .toDF("url", "embedding")
+
+    // option off: everything survives, no 5b stage row
+    val off = CorpusPipeline.run(df)
+    assert(off.kept.collect().map(_.getString(0)).toSet == rows.map(_._1).toSet)
+    assert(!off.stages.collect().map(_.getString(0)).contains("5b_semdedup"))
+
+    val on = CorpusPipeline.run(df, semDedupEmbeddings = Some(emb))
+    val kept = on.kept.collect().map(_.getString(0)).toSet
+    // min url wins; orthogonal and embedding-less docs untouched
+    assert(kept == Set("https://sem.com/a-english", "https://sem.com/c-other",
+      "https://sem.com/d-noemb"), kept.toString)
+    val stages = on.stages.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stages("5b_semdedup") == stages("5_neardup_kept") - 1, stages.toString)
+  }
 }
