@@ -446,6 +446,18 @@ object SparkEntry {
       TextAnalysis.lmQuality(base.unionByName(garbled))
     }),
 
+    // block-list content filter (q27, r6c): C4-style term filter —
+    // spam markers planted on every 40th doc (one UPPERCASE to prove
+    // the lower() path); the oracle runs the identical RE2 pattern
+    "q27_blocklist" -> ((s, dir) => {
+      val seeded = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 40 === 0,
+          concat(col("text"), lit(" win the JACKPOT casino bonus casino")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.blocklistStats(seeded,
+        Seq("casino", "jackpot", "viagra")).limit(2000)
+    }),
+
     // ---- dedup / similarity / fingerprint (Spark-only oracles) ----
     "d1_exact_dedup_groups" -> ((s, dir) => Dedup.exact(docsWithDups(s, dir))),
     "d2_minhash_pairs" -> ((s, dir) => Dedup.minhashPairs(docsWithDups(s, dir))),
@@ -549,6 +561,24 @@ object SparkEntry {
     // float, so the double casts agree bit-for-bit across engines).
     "s8_semdedup_portable" -> ((s, dir) =>
       Similarity.semDedupPortable(embWithDups(s, dir)).orderBy("vec_id")),
+    // semantic near-dup CLUSTERS (s9, r6c): d9's connected-component
+    // machinery over the portable semantic pair stage — two planted
+    // scaled copies per seed (x2, x4) form 3-member same-direction
+    // families; cluster id = component min = the original. The whole
+    // pair stage is ANSI-expressible, so the oracle rebuilds copies,
+    // cells, cosine edges AND the transitive closure (RECURSIVE CTE).
+    "s9_semantic_clusters" -> ((s, dir) => {
+      val base = embeddings(s, dir).select("vec_id", "embedding")
+      def scaled(off: Long, f: Float) = base.filter(col("vec_id") % 101 === 0)
+        .select((col("vec_id") + off).as("vec_id"),
+          transform(col("embedding"), x => x * f).as("embedding"))
+      val all = base.unionByName(scaled(10000000L, 2.0f))
+        .unionByName(scaled(20000000L, 4.0f))
+      Dedup.nearDupClusters(
+        Similarity.semanticPairsPortable(all)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+        .orderBy("doc_id")
+    }),
 
     // ---- multimodal plumbing (stubbed codec, real Spark shape) ----
     "m1_media_features" -> ((s, _) =>
@@ -960,6 +990,41 @@ object SparkEntry {
           "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) + 1e-12) >= 0.92) " +
           "SELECT c.vec_id, c.cell, (d.vec_id IS NULL) AS kept " +
           "FROM c LEFT JOIN drp d ON c.vec_id = d.vec_id ORDER BY c.vec_id"),
+      // semantic clusters (s9): copies, cells, cosine edges and the
+      // transitive closure all rebuilt from scratch (d9's RECURSIVE
+      // reach pattern over the semantic pair CTE)
+      "s9_semantic_clusters" ->
+        ("WITH RECURSIVE base AS (SELECT vec_id, embedding FROM embeddings), " +
+          "cop2 AS (SELECT vec_id + 10000000 AS vec_id, " +
+          "list_transform(embedding, x -> CAST(x AS DOUBLE) * 2) AS embedding " +
+          "FROM base WHERE vec_id % 101 = 0), " +
+          "cop4 AS (SELECT vec_id + 20000000 AS vec_id, " +
+          "list_transform(embedding, x -> CAST(x AS DOUBLE) * 4) AS embedding " +
+          "FROM base WHERE vec_id % 101 = 0), " +
+          "alle AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM " +
+          "(SELECT * FROM base UNION ALL SELECT * FROM cop2 UNION ALL SELECT * FROM cop4)), " +
+          "c AS (SELECT vec_id, v, " +
+          "((v[1] > 0)::INT + 2*(v[2] > 0)::INT + 4*(v[3] > 0)::INT + 8*(v[4] > 0)::INT) AS cell " +
+          "FROM alle), " +
+          "cand AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b FROM c a JOIN c b " +
+          "ON a.cell = b.cell AND a.vec_id < b.vec_id " +
+          "WHERE list_dot_product(a.v, b.v) / " +
+          "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) + 1e-12) >= 0.92), " +
+          "edges AS (SELECT doc_a AS s, doc_b AS d FROM cand " +
+          "UNION SELECT doc_b, doc_a FROM cand), " +
+          "reach AS (SELECT s, s AS d FROM (SELECT DISTINCT s FROM edges) t " +
+          "UNION SELECT e.s, r.d FROM edges e JOIN reach r ON e.d = r.s) " +
+          "SELECT s AS doc_id, MIN(d) AS cluster_id FROM reach GROUP BY s ORDER BY doc_id"),
+      // block-list filter (q27): identical RE2 pattern run verbatim
+      // (the q22 convention), seeding recomputed per row
+      "q27_blocklist" ->
+        ("WITH seeded AS (SELECT doc_id, CASE WHEN doc_id % 40 = 0 " +
+          "THEN text || ' win the JACKPOT casino bonus casino' ELSE text END AS text " +
+          "FROM documents) " +
+          "SELECT doc_id, CAST(len(regexp_extract_all(lower(text), " +
+          "'\\b(casino|jackpot|viagra)\\b')) AS INTEGER) AS n_blocked, " +
+          "(len(regexp_extract_all(lower(text), '\\b(casino|jackpot|viagra)\\b')) = 0) AS kept " +
+          "FROM seeded ORDER BY doc_id LIMIT 2000"),
       // corpus-LM quality (q26): df table and score recomputed from
       // scratch over the identically seeded corpus (clean + garbled
       // twins); gram slice = the proven d6 substr CTE at k=3

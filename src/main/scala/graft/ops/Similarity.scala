@@ -383,20 +383,67 @@ object Similarity {
     * corpus/maxCell rows), broadcast into a left_anti so the wide
     * embedding relation never shuffles for the guard.
     */
-  private def semDedupPrune(assigned: DataFrame, minCos: Double, maxCell: Int,
-                            cos: (Column, Column) => Column,
-                            idCol: String): DataFrame = {
+  /** Within-cell candidate pairs (id_a < id_b, cosine ≥ minCos) over a
+    * cell-assigned corpus — the shared edge builder for the SemDeDup
+    * prune and semantic clustering (s9). A vector lives in exactly one
+    * cell, so no cross-cell dedup is needed.
+    */
+  private def cellPairs(assigned: DataFrame, minCos: Double, maxCell: Int,
+                        cos: (Column, Column) => Column,
+                        idCol: String): DataFrame = {
     val overCap = assigned.groupBy("cell").agg(count(lit(1)).as("cell_n"))
       .filter(col("cell_n") > maxCell).select("cell")
     val bounded = assigned.join(broadcast(overCap), Seq("cell"), "left_anti")
       .select("cell", idCol, "embedding")
-    val dropped = bounded.as("a").join(bounded.as("b"), Seq("cell"))
+    // NaN GUARD — load-bearing, found by the degenerate-embedding
+    // test: Spark SQL orders NaN ABOVE every value, so a bare
+    // `cos >= minCos` is TRUE when an embedding contains NaN — one
+    // poisoned vector would silently drop every higher-id member of
+    // its cell. Non-finite cosines are excluded outright (the
+    // topKPerQuery convention): degenerate embeddings pair with
+    // nothing and are always KEPT.
+    val cv = cos(col("a.embedding"), col("b.embedding"))
+    bounded.as("a").join(bounded.as("b"), Seq("cell"))
       .filter(col(s"a.$idCol") < col(s"b.$idCol"))
-      .filter(cos(col("a.embedding"), col("b.embedding")) >= minCos)
-      .select(col(s"b.$idCol").as(idCol)).distinct()
+      .filter(!isnan(cv) && cv =!= lit(Double.PositiveInfinity) && cv >= minCos)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+  }
+
+  private def semDedupPrune(assigned: DataFrame, minCos: Double, maxCell: Int,
+                            cos: (Column, Column) => Column,
+                            idCol: String): DataFrame = {
+    val dropped = cellPairs(assigned, minCos, maxCell, cos, idCol)
+      .select(col("id_b").as(idCol)).distinct()
     assigned.join(dropped.withColumn("hit", lit(1)), Seq(idCol), "left")
       .select(col(idCol), col("cell"), col("hit").isNull.as("kept"))
   }
+
+  /** Axis-sign cell assignment of the portable semantic path (shared
+    * by `semDedupPortable` and `semanticPairsPortable`): DOUBLE-cast
+    * embeddings, cell = sign bucket of the first `signDims` coords.
+    */
+  private def portableAssigned(corpus: DataFrame, signDims: Int): DataFrame = {
+    val v = corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val cellCol = (0 until signDims).map(i =>
+        when(element_at(col("embedding"), i + 1) > 0, lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
+    v.withColumn("cell", cellCol)
+  }
+
+  /** Semantic near-dup PAIRS from the portable path: (vec_a, vec_b)
+    * with vec_a < vec_b and double cosine ≥ minCos — the edge set for
+    * semantic CLUSTERING (s9: feed into `Dedup.nearDupClusters` the
+    * way d9 clusters the lexical LSH pairs). Same cells, guard and
+    * arithmetic as `semDedupPortable`, so the whole pair stage is
+    * ANSI-expressible and sits under the DuckDB oracle.
+    */
+  def semanticPairsPortable(corpus: DataFrame, signDims: Int = 4,
+                            minCos: Double = 0.92,
+                            maxCell: Int = 10000): DataFrame =
+    cellPairs(portableAssigned(corpus, signDims), minCos, maxCell,
+      cosineHof, "vec_id")
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
 
   /** SemDeDup (s7) — embedding-space SEMANTIC deduplication (Abbas et
     * al. 2023, "SemDeDup: Data-efficient learning at web-scale through
@@ -447,13 +494,7 @@ object Similarity {
     * implementation.
     */
   def semDedupPortable(corpus: DataFrame, signDims: Int = 4,
-                       minCos: Double = 0.92, maxCell: Int = 10000): DataFrame = {
-    val v = corpus.select(col("vec_id"),
-      col("embedding").cast("array<double>").as("embedding"))
-    val cellCol = (0 until signDims).map(i =>
-        when(element_at(col("embedding"), i + 1) > 0, lit(1 << i)).otherwise(lit(0)))
-      .reduce(_ + _)
-    val assigned = v.withColumn("cell", cellCol)
-    semDedupPrune(assigned, minCos, maxCell, cosineHof, "vec_id")
-  }
+                       minCos: Double = 0.92, maxCell: Int = 10000): DataFrame =
+    semDedupPrune(portableAssigned(corpus, signDims), minCos, maxCell,
+      cosineHof, "vec_id")
 }

@@ -266,6 +266,25 @@ object TextAnalysis {
     * be trained once on a slice and reused (train ≠ score split), but
     * the join shape is unchanged.
     */
+  /** Block-list content filter (q27) — the C4 curation stage (Raffel
+    * et al. 2020 dropped any page containing a term from a public
+    * block list): per-document count of block-listed terms and the
+    * keep flag. The list is a PARAMETER (the driver fixture uses
+    * neutral spam markers); matching is word-boundary on lowercased
+    * text via ONE alternation regex — RE2-portable, so the DuckDB
+    * oracle runs the identical pattern (the q22 convention). Pure
+    * per-row projection: no UDF, no shuffle.
+    */
+  def blocklistStats(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty && terms.forall(_.matches("[a-z0-9]+")),
+      "blocklist terms must be lowercase alphanumeric (regex-safe)")
+    val pat = terms.mkString("\\b(", "|", ")\\b")
+    docs.select(col("doc_id"),
+        regexp_count(lower(col("text")), lit(pat)).as("n_blocked"))
+      .withColumn("kept", col("n_blocked") === 0)
+      .orderBy("doc_id")
+  }
+
   def lmQuality(docs: DataFrame, k: Int = 3): DataFrame = {
     val grams = docs.select(col("doc_id"),
         explode(graft.functions.GraftFunctions.charShingles(col("text"), k)).as("gram"))

@@ -195,6 +195,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p26.contains("CartesianProduct"), p26)
     assert(!p26.contains("Window"), p26)
     assert(p26.contains("BroadcastNestedLoopJoin") || p26.contains("BroadcastExchange"), p26)
+    // q27: a pure per-row regex projection — no exchange before the
+    // final orderBy (s9 reuses the audited semDedup pair shape plus
+    // d9's already-audited label propagation)
+    val p27 = plan("q27_blocklist")
+    assert(!p27.contains("CartesianProduct"), p27)
+    assert(!p27.contains("Window"), p27)
 
     // pipeline `5b_semdedup` stage audited through its own identity
     // seam — NOT added to the every-option test above: SemDeDup's

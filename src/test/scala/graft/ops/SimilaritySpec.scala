@@ -254,6 +254,51 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.forall(_.getBoolean(2)), "cap dropped documents (must only drop pairs)")
   }
 
+  test("semanticPairsPortable + nearDupClusters: scaled-copy families form min-id components (s9)") {
+    val corpus = clustered(5, 12, 0.3)
+    val cp2 = corpus.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 1000L).as("vec_id"),
+        transform(col("embedding"), x => x * 2.0f).as("embedding"))
+    val cp4 = corpus.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 2000L).as("vec_id"),
+        transform(col("embedding"), x => x * 4.0f).as("embedding"))
+    val all = corpus.unionByName(cp2).unionByName(cp4)
+    // threshold 0.99 so ONLY the exact-direction families register
+    // (organic same-cluster pairs sit near ~0.92 at noise 0.3)
+    val pairs = Similarity.semanticPairsPortable(all, minCos = 0.99)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val clusters = Dedup.nearDupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val seeds = (0 until 60 by 20).map(_.toLong)
+    seeds.foreach { s =>
+      assert(clusters(s) == s && clusters(s + 1000L) == s && clusters(s + 2000L) == s,
+        s"family $s: $clusters")
+    }
+    assert(clusters.size == seeds.size * 3, clusters.toString)
+  }
+
+  test("semDedup is total on degenerate embeddings: zero vectors and NaN survive, poison nothing") {
+    // zero vector: norm guard keeps it a zero vector, cosine 0 to
+    // everything -> kept. NaN components: Spark SQL orders NaN ABOVE
+    // every value, so WITHOUT the explicit finiteness guard in
+    // cellPairs, cosine-NaN >= minCos is TRUE and the NaN vector
+    // DROPS every higher-id cell member (this test caught exactly
+    // that). With the guard, degenerate embeddings pair with nothing:
+    // both KEPT, and they never delete healthy documents.
+    val rows = Seq(
+      (0L, Seq.fill(dim)(0.0f)),
+      (1L, Seq.fill(dim)(Float.NaN)),
+      (2L, Seq.tabulate(dim)(i => if (i == 0) 1.0f else 0.25f)),
+      (3L, Seq.tabulate(dim)(i => if (i == 0) 2.0f else 0.5f))) // dup of 2
+    val corpus = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    Seq(Similarity.semDedup(corpus, dim), Similarity.semDedupPortable(corpus))
+      .foreach { df =>
+        val out = df.collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+        assert(out(0L) && out(1L) && out(2L), out.toString)
+        assert(!out(3L), "exact-direction dup of a healthy vector must drop")
+      }
+  }
+
   test("semDedup plans: no cartesian product, broadcast cap guard") {
     val (all, _) = withScaledCopies(clustered(6, 20, 0.3))
     Seq(Similarity.semDedup(all, dim), Similarity.semDedupPortable(all)).foreach { df =>

@@ -119,6 +119,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(preds.forall(_ == "en"), preds.mkString(","))
   }
 
+  test("blocklistStats (q27): word-boundary, case-insensitive, substring-safe") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "an ordinary document about gardens and weather"),
+      (2L, "late night CASINO trip, then another casino"),     // 2 hits, case folded
+      (3L, "the casinos were closed"),                          // substring must NOT hit
+      (4L, "Jackpot! viagra casino"),                           // 3 hits across terms
+      (5L, ""))).toDF("doc_id", "text")
+    val got = TextAnalysis.blocklistStats(df, Seq("casino", "jackpot", "viagra"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    assert(got == Map(1L -> ((0, true)), 2L -> ((2, false)),
+      3L -> ((0, true)), 4L -> ((3, false)), 5L -> ((0, true))), got.toString)
+    // the regex-safety guard rejects non-alphanumeric terms
+    intercept[IllegalArgumentException] {
+      TextAnalysis.blocklistStats(df, Seq("a|b("))
+    }
+  }
+
   test("lmQuality (q26): garbled text scores strictly below ordinary prose") {
     // ten ordinary sentences share trigram inventory (high df); the
     // mash/base64-ish rows have grams nobody else has (df = 1)
