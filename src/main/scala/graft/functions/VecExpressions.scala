@@ -189,6 +189,98 @@ case class FloatVecLshKeys(child: Expression, dim: Int, planes: Int, tables: Int
     copy(child = newChild)
 }
 
+/** Nearest-centroid (coarse-quantizer cell) assignment in one compiled
+  * pass: returns the index of the centroid minimizing squared L2,
+  * computed as |x|² − 2⟨x,c⟩ + |c|² in double — the same formula as
+  * the composed `cellDist`/`array_min`/`array_position` form, with
+  * first-minimum tie-breaking matching `array_position`'s
+  * first-occurrence rule (equivalence asserted in SimilaritySpec).
+  *
+  * Why a custom expression (SURVEY §4.4, the FloatVecLshKeys lesson
+  * again): the composed form inlines nCells × dim float literals —
+  * fine at IVF's 16 cells, but SemDeDup at bench/corpus scale needs
+  * cells sized to ~hundreds of members (nCells ≈ corpus/250), and
+  * hundreds of 32-float literal arrays blow Janino's 64 KB method
+  * limit, silently dropping the whole assignment stage to interpreted
+  * execution. Here the flattened centroid matrix rides as ONE
+  * referenced float[] and the generated code is two small loops.
+  */
+case class FloatVecNearestCell(child: Expression, flat: Array[Float], dim: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(dim > 0 && flat.length % dim == 0 && flat.length > 0,
+    "centroid matrix must be a non-empty multiple of dim")
+
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = GraftFunctions.CellName
+
+  private def nCells: Int = flat.length / dim
+
+  /** Precomputed |c|² per centroid (double, matching the composed form). */
+  @transient private lazy val c2: Array[Double] = {
+    val a = new Array[Double](nCells)
+    var c = 0
+    while (c < nCells) {
+      var s = 0.0
+      var d = 0
+      while (d < dim) { val v = flat(c * dim + d).toDouble; s += v * v; d += 1 }
+      a(c) = s
+      c += 1
+    }
+    a
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    FloatVecNearestCellImpl.nearest(x, flat, c2, dim)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("cellCentroids", flat, "float[]")
+    val c2Ref = ctx.addReferenceObj("cellC2", c2, "double[]")
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.FloatVecNearestCellImpl.nearest($x, $flatRef, $c2Ref, $dim);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FloatVecNearestCell =
+    copy(child = newChild)
+}
+
+object FloatVecNearestCellImpl {
+  /** argmin over centroids of |x|² − 2⟨x,c⟩ + |c|²; strict `<` keeps
+    * the FIRST minimum (array_position semantics). Null elements are
+    * treated as 0, like FloatVecDot.
+    */
+  def nearest(x: ArrayData, flat: Array[Float], c2: Array[Double], dim: Int): Int = {
+    val n = math.min(x.numElements(), dim)
+    var self = 0.0
+    var d = 0
+    while (d < n) {
+      // float product then widen — bit-identical to FloatVecDot(x, x)
+      if (!x.isNullAt(d)) { val v = x.getFloat(d); self += (v * v).toDouble }
+      d += 1
+    }
+    val cells = flat.length / dim
+    var best = 0
+    var bd = Double.MaxValue
+    var c = 0
+    while (c < cells) {
+      var dot = 0.0
+      d = 0
+      val off = c * dim
+      while (d < n) {
+        if (!x.isNullAt(d)) dot += (x.getFloat(d) * flat(off + d)).toDouble
+        d += 1
+      }
+      val dist = self - 2.0 * dot + c2(c)
+      if (dist < bd) { bd = dist; best = c }
+      c += 1
+    }
+    best
+  }
+}
+
 /** Column builders for the custom expressions. Construction goes
   * straight through the Column↔Expression bridge — no session, no
   * registry write per call. `register` additionally exposes the
@@ -205,6 +297,7 @@ object GraftFunctions {
   val IdnName = "graft_idn"
   val RepStatsName = "graft_repstats"
   val MojibakeName = "graft_fix_mojibake"
+  val CellName = "graft_fvcell"
   import org.apache.spark.sql.graft.ColumnBridge
 
   /** Codegen'd Unicode NFC normalization as a Column. */
@@ -260,6 +353,18 @@ object GraftFunctions {
     */
   def fvlsh(emb: Column, dim: Int, planes: Int, tables: Int, probes: Int = 0): Column =
     ColumnBridge.column(FloatVecLshKeys(ColumnBridge.expression(emb), dim, planes, tables, probes))
+
+  /** Codegen'd nearest-centroid cell assignment as a Column; the
+    * centroid matrix rides as one referenced object (codegen-safe at
+    * any nCells × dim).
+    */
+  def fvcell(emb: Column, centroids: Array[Array[Float]]): Column = {
+    require(centroids.nonEmpty, "empty centroid set")
+    val dim = centroids.head.length
+    require(centroids.forall(_.length == dim), "ragged centroid matrix")
+    ColumnBridge.column(FloatVecNearestCell(
+      ColumnBridge.expression(emb), centroids.flatten, dim))
+  }
 
   /** Optional: expose the custom expressions to SQL text on `spark`'s
     * registry (r6: all of them — at deploy scale the same builders

@@ -140,6 +140,7 @@ object CorpusPipeline {
           sampleByLang: Option[Map[String, Double]] = None,
           semDedupEmbeddings: Option[DataFrame] = None,
           semDedupMinCos: Double = 0.92,
+          semDedupCells: Int = 16, semDedupMaxCell: Int = 10000,
           checkpoint: DataFrame => DataFrame = _.localCheckpoint()): Result = {
     val spark = extracted.sparkSession
 
@@ -208,8 +209,12 @@ object CorpusPipeline {
         emb.select(size(col("embedding"))).limit(1).collect().headOption match {
           case Some(r) =>
             val dim = r.getInt(0)
+            // cells/cap are config seams: nCells must grow with the
+            // corpus (cell population ≈ corpus/nCells must stay under
+            // maxCell or the skew guard neutralizes the whole stage)
             val drops = Similarity.semDedup(emb, dim,
-                minCos = semDedupMinCos, idCol = "url")
+                minCos = semDedupMinCos, nCells = semDedupCells,
+                maxCell = semDedupMaxCell, idCol = "url")
               .filter(!col("kept")).select("url")
             checkpoint(deduped.join(drops, Seq("url"), "left_anti"))
           case None => deduped // no survivor has an embedding

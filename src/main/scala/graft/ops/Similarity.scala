@@ -263,8 +263,19 @@ object Similarity {
     dot(emb, emb) - lit(2.0) * dot(emb, cl) + lit(c2)
   }
 
-  /** Index of the nearest centroid. */
-  private def cellOf(emb: Column, centroids: Array[(Int, Array[Float])]): Column = {
+  /** Index of the nearest centroid — the codegen'd FloatVecNearestCell
+    * (centroid matrix as ONE referenced object). The composed literal
+    * form below is kept for the equivalence test only: it inlines
+    * nCells × dim float literals, which blows Janino's 64 KB method
+    * limit at SemDeDup cell counts (nCells ≈ corpus/250) — the
+    * FloatVecLshKeys lesson, third occurrence.
+    */
+  private def cellOf(emb: Column, centroids: Array[(Int, Array[Float])]): Column =
+    graft.functions.GraftFunctions.fvcell(emb, centroids.map(_._2))
+
+  /** Composed reference formulation of `cellOf` (equivalence test only). */
+  private[ops] def cellOfComposed(emb: Column,
+                                  centroids: Array[(Int, Array[Float])]): Column = {
     val dists = array(centroids.map { case (_, c) => cellDist(emb, c) }: _*)
     array_position(dists, array_min(dists)).cast("int") - 1
   }
@@ -479,7 +490,12 @@ object Similarity {
       .select(idCol, "embedding")
     val centroids = kmeansCentroids(normed, dim, nCells, idCol = idCol)
     val assigned = normed.withColumn("cell", cellOf(col("embedding"), centroids))
-    semDedupPrune(assigned, minCos, maxCell, cosine, idCol)
+    // vectors are unit-normalized here, so cosine IS the dot product —
+    // the full `cosine` would recompute BOTH norms per candidate PAIR
+    // (3× the dot work plus two sqrts, on the stage's O(cell²) hot
+    // path); zero vectors stay zero (dot 0, kept) and the NaN guard
+    // in cellPairs is unaffected
+    semDedupPrune(assigned, minCos, maxCell, dot, idCol)
   }
 
   /** Portable SemDeDup twin (s8) — same prune rule with an

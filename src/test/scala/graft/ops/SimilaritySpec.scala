@@ -254,6 +254,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.forall(_.getBoolean(2)), "cap dropped documents (must only drop pairs)")
   }
 
+  test("FloatVecNearestCell == composed cellDist/array_min formulation (bit-identical)") {
+    val corpus = clustered(8, 25, 0.5)
+    val cents = Similarity.kmeansCentroids(corpus, dim, 12)
+    val both = corpus.select(col("vec_id"),
+      graft.functions.GraftFunctions.fvcell(col("embedding"), cents.map(_._2)).as("native"),
+      Similarity.cellOfComposed(col("embedding"), cents).as("composed"))
+    val bad = both.filter(col("native") =!= col("composed")).count()
+    assert(bad == 0L, s"$bad rows disagree")
+    // degenerate inputs: all-NaN and zero vectors assign deterministically
+    val weird = spark.createDataFrame(Seq(
+      (0L, Seq.fill(dim)(Float.NaN)), (1L, Seq.fill(dim)(0.0f))))
+      .toDF("vec_id", "embedding")
+    val w = weird.select(
+      graft.functions.GraftFunctions.fvcell(col("embedding"), cents.map(_._2)).as("n"),
+      Similarity.cellOfComposed(col("embedding"), cents).as("c")).collect()
+    w.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+  }
+
   test("semanticPairsPortable + nearDupClusters: scaled-copy families form min-id components (s9)") {
     val corpus = clustered(5, 12, 0.3)
     val cp2 = corpus.filter(col("vec_id") % 20 === 0)
