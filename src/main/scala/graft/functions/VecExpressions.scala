@@ -343,6 +343,27 @@ object GraftFunctions {
   def minhashSig(s: Column, k: Int, numHashes: Int, wordGrams: Boolean): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(s), k, numHashes, wordGrams))
 
+  /** Codegen'd whole-signature md5-derived (portable) MinHash as a
+    * Column (array<long>) — bit-identical to the conv/substr/md5 agg
+    * formulation the DuckDB oracles mirror (r7).
+    */
+  def md5MinhashSig(s: Column, k: Int, numHashes: Int): Column =
+    ColumnBridge.column(Md5MinHashSig(ColumnBridge.expression(s), k, numHashes))
+
+  /** Codegen'd single-pass 64-bit simhash as a 0/1-element array
+    * Column (empty = tokenless document; r7).
+    */
+  def simhashTokens(s: Column): Column =
+    ColumnBridge.column(SimHashTokens(ColumnBridge.expression(s)))
+
+  /** Codegen'd equal-position count of two long-array Columns (r7). */
+  def longVecEqCount(a: Column, b: Column): Column =
+    ColumnBridge.column(LongVecEqCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Codegen'd double-vector dot product as a Column (r7). */
+  def dvdot(a: Column, b: Column): Column =
+    ColumnBridge.column(DoubleVecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** Codegen'd float-vector dot product as a Column. */
   def fvdot(a: Column, b: Column): Column =
     ColumnBridge.column(FloatVecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))

@@ -192,7 +192,8 @@ object CorpusPipeline {
     // 25.7 s → 3 s on the sf-small extraction output)
     val pairs = Dedup.minhashPairs(
       byText.select(col("url").as("doc_id"), col("text")),
-      k, numHashes, bands, minEstJaccard, maxBandBucket, wordGrams = true)
+      k, numHashes, bands, minEstJaccard, maxBandBucket, wordGrams = true,
+      checkpoint = checkpoint)
     val (labels, converged, rounds) =
       Dedup.nearDupClustersStatus(pairs, maxIter, checkpoint)
     val losers = labels.filter(col("doc_id") =!= col("cluster_id"))

@@ -115,14 +115,23 @@ object Dedup {
   def minhashPairs(docs: DataFrame, k: Int = 5, numHashes: Int = 32,
                    bands: Int = 8, minEstJaccard: Double = 0.5,
                    maxBandBucket: Int = DefaultMaxBandBucket,
-                   wordGrams: Boolean = false): DataFrame = {
+                   wordGrams: Boolean = false,
+                   checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    // materialize the bucket table ONCE (r7): it feeds THREE consumers —
+    // the over-cap aggregate and both sides of the self-join — and
+    // without the cut each consumer re-runs the whole shingle+signature
+    // pipeline (ReuseExchange only unifies the two identical join
+    // sides, not the differently-shaped cap aggregate). Same seam
+    // convention as nearDupClusters: local checkpoint by default, a
+    // cluster caller injects reliable `_.checkpoint()`.
     val buckets = capBandBuckets(
-      minhashBuckets(docs, k, numHashes, bands, wordGrams), maxBandBucket)
-    // fraction of matching minhashes ≈ Jaccard (Broder '97)
-    val est = aggregate(
-      zip_with(col("a.sig_arr"), col("b.sig_arr"),
-        (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v).cast("double") / numHashes
+      checkpoint(minhashBuckets(docs, k, numHashes, bands, wordGrams)), maxBandBucket)
+    // fraction of matching minhashes ≈ Jaccard (Broder '97); the
+    // equal-position count is the codegen'd LongVecEqCount — the HOF
+    // zip_with/aggregate form was CodegenFallback and dropped the whole
+    // post-join projection to interpreted execution (r7)
+    val est = graft.functions.GraftFunctions.longVecEqCount(
+      col("a.sig_arr"), col("b.sig_arr")).cast("double") / numHashes
     buckets.as("a")
       .join(buckets.as("b"), Seq("band", "sig"))
       .filter(col("a.doc_id") < col("b.doc_id"))
@@ -174,13 +183,14 @@ object Dedup {
     */
   def minhashPairsPortable(docs: DataFrame, k: Int = 5, numHashes: Int = 16,
                            bands: Int = 4, minEstJaccard: Double = 0.5,
-                           maxBandBucket: Int = DefaultMaxBandBucket): DataFrame = {
+                           maxBandBucket: Int = DefaultMaxBandBucket,
+                           checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    // same three-consumer materialization + codegen'd agreement count
+    // as minhashPairs (r7)
     val buckets = capBandBuckets(
-      minhashBucketsPortable(docs, k, numHashes, bands), maxBandBucket)
-    val est = aggregate(
-      zip_with(col("a.sig_arr"), col("b.sig_arr"),
-        (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v).cast("double") / numHashes
+      checkpoint(minhashBucketsPortable(docs, k, numHashes, bands)), maxBandBucket)
+    val est = graft.functions.GraftFunctions.longVecEqCount(
+      col("a.sig_arr"), col("b.sig_arr")).cast("double") / numHashes
     buckets.as("a")
       .join(buckets.as("b"), Seq("band", "sig"))
       .filter(col("a.doc_id") < col("b.doc_id"))
@@ -198,20 +208,26 @@ object Dedup {
     */
   private def minhashBucketsPortable(docs: DataFrame, k: Int, numHashes: Int,
                                      bands: Int): DataFrame = {
-    def h60(c: Column, seed: Int): Column =
-      conv(substring(md5(concat(c, lit(s":$seed"))), 1, 15), 16, 10).cast("long")
-    val exploded = docs
-      .select(col("doc_id"), explode(shingles(col("text"), k)).as("shingle"))
-    val aggs = (0 until numHashes).map(h => min(h60(col("shingle"), h)).as(s"mh_$h"))
-    val sigs = exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    // whole signature in ONE per-row pass via the codegen'd
+    // Md5MinHashSig (r7) — the former explode(shingles) → groupBy →
+    // 16 × min(conv(substr(md5(concat(sh, ':h')),1,15),16,10)) agg
+    // materialized ~text-length rows per document and re-parsed a hex
+    // string per (gram, seed). Values are bit-identical (DedupSpec
+    // equivalence test; the d6/d7/d9 DuckDB oracles gate end-to-end).
+    // The null-text filter mirrors the explode (null grams → no rows);
+    // explode(array(...)) is the Generate barrier so downstream band
+    // references read the signature attribute instead of re-evaluating.
+    val sigs = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(array(graft.functions.GraftFunctions.md5MinhashSig(
+          col("text"), k, numHashes))).as("sig_arr"))
     val rows = numHashes / bands
     val bandCols = (0 until bands).map { b =>
-      val cols = (0 until rows).map(r => col(s"mh_${b * rows + r}"))
+      val cols = (0 until rows).map(r => col("sig_arr")(b * rows + r))
       struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("sig"))
     }
-    val sigArr = array((0 until numHashes).map(h => col(s"mh_$h")): _*)
     sigs
-      .select(col("doc_id"), sigArr.as("sig_arr"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("sig_arr"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("sig_arr"), col("bk.band").as("band"), col("bk.sig").as("sig"))
   }
 
@@ -271,9 +287,15 @@ object Dedup {
   def nearDupClustersStatus(pairs: DataFrame, maxIter: Int = 10,
                             checkpoint: DataFrame => DataFrame = _.localCheckpoint())
   : (DataFrame, Boolean, Int) = {
+    // symmetrize in ONE pass over `pairs` (r7): the former two-select
+    // union evaluated the whole upstream pair pipeline twice before the
+    // first checkpoint could cut it — for d9/s9 that is the entire LSH /
+    // semantic-pair stage, the most expensive subtree of the query
     val edges = checkpoint(
-      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .distinct())
     var labels = checkpoint(
       edges.select(col("src").as("doc_id")).distinct()
@@ -283,22 +305,39 @@ object Dedup {
     while (changed > 0 && i < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min("cluster_id").as("nbr_min"))
+      // the changed flag rides on the checkpointed frame (r7): a label
+      // shrank iff a strictly smaller neighbor min arrived — the former
+      // separate next⋈labels count paid one more join per round
       val next = checkpoint(
         labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
           .select(col("doc_id"),
-            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id")))
-      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
-        .filter(col("cluster_id") =!= col("old")).count()
-      labels = next
+            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"),
+            (col("nbr_min") < col("cluster_id")).as("chg")))
+      changed = next.filter(col("chg")).count()
+      labels = next.select("doc_id", "cluster_id")
       i += 1
     }
     (labels.orderBy("doc_id"), changed == 0L, i)
   }
 
-  /** SimHash (64-bit): per-token hash, bitwise weighted majority.
-    * All 64 bit-sums happen in one hash-aggregate pass.
+  /** SimHash (64-bit): per-token hash, bitwise weighted majority — ONE
+    * per-row pass via the codegen'd SimHashTokens (r7). The former
+    * explode(split) → 64-bit-sum hash aggregate materialized every
+    * token as a row and shuffled a 64-column group per document; this
+    * is a pure projection (explode of the 0/1-element result array
+    * reproduces the aggregation's "tokenless doc → no row" semantics
+    * and doubles as the Generate barrier). Bit-identical — token hashes
+    * are Spark's own xxhash64 — asserted against the agg formulation in
+    * DedupSpec.
     */
-  def simhash(docs: DataFrame): DataFrame = {
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(graft.functions.GraftFunctions.simhashTokens(col("text"))).as("simhash"))
+
+  /** The aggregation formulation `simhash` replaced — kept ONLY as the
+    * equivalence-test twin (DedupSpec).
+    */
+  private[ops] def simhashAgg(docs: DataFrame): DataFrame = {
     val tokens = docs.select(col("doc_id"),
       explode(split(col("text"), "\\s+")).as("tok"))
       .filter(length(col("tok")) > 0)
@@ -318,14 +357,18 @@ object Dedup {
     * (pigeonhole), so the bucket join finds all near-dups.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
-                   maxBandBucket: Int = DefaultMaxBandBucket): DataFrame = {
+                   maxBandBucket: Int = DefaultMaxBandBucket,
+                   checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
     val sh = simhash(docs)
     val bandCols = (0 until 4).map(b =>
       struct(lit(b).as("band"),
         shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("sig")))
+    // one materialization for the cap aggregate + both join sides (r7,
+    // the minhashPairs rationale)
     val buckets = capBandBuckets(
-      sh.select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bk"))
-        .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.sig").as("sig")),
+      checkpoint(
+        sh.select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bk"))
+          .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.sig").as("sig"))),
       maxBandBucket)
     val pairs = buckets.as("a").join(buckets.as("b"), Seq("band", "sig"))
       .filter(col("a.doc_id") < col("b.doc_id"))

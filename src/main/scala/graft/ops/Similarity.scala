@@ -99,10 +99,16 @@ object Similarity {
     * top-k rows reach the final per-query merge.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val scored = corpus.as("c").crossJoin(broadcast(queries.as("q")))
+    // per-side norms materialized once per row (r7): the inline
+    // `cosine` recomputed both self-dots per scored pair — at
+    // |queries| dots per corpus row that tripled the scan's FLOP count.
+    // dot/(nrm_q·nrm_c + 1e-12) is operation-identical to cosine().
+    val scored = corpus.withColumn("c_nrm", norm(col("embedding"))).as("c")
+      .crossJoin(broadcast(queries.withColumn("q_nrm", norm(col("embedding"))).as("q")))
       .filter(col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("vec_id"),
-        cosine(col("q.embedding"), col("c.embedding")).as("cos"))
+        (dot(col("q.embedding"), col("c.embedding")) /
+          (col("q.q_nrm") * col("c.c_nrm") + lit(1e-12))).as("cos"))
     topKPerQuery(scored, k)
   }
 
@@ -189,19 +195,23 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
               planes: Int = 6, tables: Int = 8, probes: Int = 2): DataFrame = {
+    // per-side norms once per row (r7, the bruteForceTopK rationale)
     val cb = corpus.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("c_nrm"),
       posexplode(lshKeysArr(col("embedding"), dim, planes, tables)).as(Seq("tbl", "key")))
     val nMasks = probeMaskCount(planes, probes)
     val qb = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("q_nrm"),
         posexplode(lshProbeKeysArr(col("embedding"), dim, planes, tables, probes))
           .as(Seq("pidx", "key")))
-      .select(col("query_id"), col("q_emb"),
+      .select(col("query_id"), col("q_emb"), col("q_nrm"),
         (col("pidx") / nMasks).cast("int").as("tbl"), col("key"))
     val scored = cb.join(broadcast(qb), Seq("tbl", "key"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
-        cosine(col("q_emb"), col("embedding")).as("cos"))
+        (dot(col("q_emb"), col("embedding")) /
+          (col("q_nrm") * col("c_nrm") + lit(1e-12))).as("cos"))
     topKPerQuery(scored, k)
   }
 
@@ -292,15 +302,19 @@ object Similarity {
       slice(transform(array_sort(array(pairs: _*)), p => p.getField("cell")), 1, nProbe)
     }
 
+    // per-side norms once per row (r7, the bruteForceTopK rationale)
     val cb = corpus.withColumn("cell", cellOf(col("embedding"), centroids))
+      .withColumn("c_nrm", norm(col("embedding")))
     val qb = queries
       .withColumnRenamed("vec_id", "query_id")
       .withColumnRenamed("embedding", "q_emb")
+      .withColumn("q_nrm", norm(col("q_emb")))
       .withColumn("cell", explode(probeCells(col("q_emb"))))
     val scored = cb.join(broadcast(qb), Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
-        cosine(col("q_emb"), col("embedding")).as("cos"))
+        (dot(col("q_emb"), col("embedding")) /
+          (col("q_nrm") * col("c_nrm") + lit(1e-12))).as("cos"))
     topKPerQuery(scored, k)
   }
 
@@ -315,7 +329,10 @@ object Similarity {
   def cosineNearDups(corpus: DataFrame, dim: Int, minCos: Double = 0.95,
                      planes: Int = NearDupPlanes, tables: Int = NearDupTables,
                      maxBucket: Int = NearDupMaxBucket): DataFrame = {
+    // per-row norm once (r7): the per-pair cosine recomputed both
+    // self-dots inside the within-bucket O(m²) pair stage
     val cb = corpus.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"),
       posexplode(lshKeysArr(col("embedding"), dim, planes, tables)).as(Seq("tbl", "key")))
     // skew guard: the over-cap key list is TINY (≤ tables × corpus/maxBucket
     // rows), so broadcast it and anti-join — the wide (vec_id, embedding)
@@ -329,7 +346,8 @@ object Similarity {
     bounded.as("a").join(bounded.as("b"), Seq("tbl", "key"))
       .filter(col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+        (dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm") + lit(1e-12))).as("cos"))
       .filter(col("cos") >= minCos)
       .groupBy("vec_a", "vec_b").agg(min(col("cos")).as("cos")) // cross-table dedup (identical values; min is retry-deterministic)
       .orderBy(col("vec_a"), col("vec_b"))
@@ -404,8 +422,10 @@ object Similarity {
                         idCol: String): DataFrame = {
     val overCap = assigned.groupBy("cell").agg(count(lit(1)).as("cell_n"))
       .filter(col("cell_n") > maxCell).select("cell")
+    // keep ALL of assigned's columns (r7): the portable path carries a
+    // precomputed per-row norm so the pair filter pays one dot per
+    // pair, not three
     val bounded = assigned.join(broadcast(overCap), Seq("cell"), "left_anti")
-      .select("cell", idCol, "embedding")
     // NaN GUARD — load-bearing, found by the degenerate-embedding
     // test: Spark SQL orders NaN ABOVE every value, so a bare
     // `cos >= minCos` is TRUE when an embedding contains NaN — one
@@ -439,8 +459,26 @@ object Similarity {
     val cellCol = (0 until signDims).map(i =>
         when(element_at(col("embedding"), i + 1) > 0, lit(1 << i)).otherwise(lit(0)))
       .reduce(_ + _)
+    // per-row norm materialized ONCE (r7): the former per-pair
+    // cosineHof recomputed BOTH self-dots (sqrt(dot(a,a)), sqrt(dot(b,b)))
+    // inside the O(cell²) pair filter — 3 interpreted HOF dots per
+    // candidate pair; sqrt(dvdot(v,v)) here is the identical value
+    // computed once per row in codegen
     v.withColumn("cell", cellCol)
+      .withColumn("nrm",
+        sqrt(graft.functions.GraftFunctions.dvdot(col("embedding"), col("embedding"))))
   }
+
+  /** Pair cosine over the precomputed norms of `portableAssigned` rows
+    * (aliases a/b fixed by `cellPairs`): dvdot(a,b) / (nrm_a·nrm_b +
+    * 1e-12) — operation-for-operation the value `cosineHof` produced
+    * (dotHof(a,b) / (sqrt(dotHof(a,a))·sqrt(dotHof(b,b)) + 1e-12)),
+    * now one codegen'd dot per pair. Bit-identity asserted in
+    * SimilaritySpec.
+    */
+  private def pairCosPrenormed(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.dvdot(a, b) /
+      (col("a.nrm") * col("b.nrm") + lit(1e-12))
 
   /** Semantic near-dup PAIRS from the portable path: (vec_a, vec_b)
     * with vec_a < vec_b and double cosine ≥ minCos — the edge set for
@@ -453,7 +491,7 @@ object Similarity {
                             minCos: Double = 0.92,
                             maxCell: Int = 10000): DataFrame =
     cellPairs(portableAssigned(corpus, signDims), minCos, maxCell,
-      cosineHof, "vec_id")
+      pairCosPrenormed, "vec_id")
       .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
 
   /** SemDeDup (s7) — embedding-space SEMANTIC deduplication (Abbas et
@@ -512,5 +550,5 @@ object Similarity {
   def semDedupPortable(corpus: DataFrame, signDims: Int = 4,
                        minCos: Double = 0.92, maxCell: Int = 10000): DataFrame =
     semDedupPrune(portableAssigned(corpus, signDims), minCos, maxCell,
-      cosineHof, "vec_id")
+      pairCosPrenormed, "vec_id")
 }

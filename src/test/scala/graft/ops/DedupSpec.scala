@@ -377,4 +377,65 @@ class DedupSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastExchange"), plan.take(2000))
   }
+
+  test("Md5MinHashSig expression == explode/groupBy/min(conv(md5)) aggregation, bit-identical (r7)") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "", // degenerate: single empty gram
+      3L -> ((1 to 60).map(i => s"w$i").mkString(" ")),
+      4L -> "漢字 mixed 漢字 text with repeats repeats repeats")
+    for (h <- Seq(4, 16)) {
+      val fast = d.select(col("doc_id"),
+          graft.functions.GraftFunctions.md5MinhashSig(col("text"), 5, h).as("sig"))
+        .orderBy("doc_id").collect()
+        .map(r => r.getSeq[Long](1))
+      // the agg formulation this expression replaced (= the DuckDB
+      // oracle's CTE chain), inlined as the twin
+      def h60(c: org.apache.spark.sql.Column, seed: Int) =
+        conv(substring(md5(concat(c, lit(s":$seed"))), 1, 15), 16, 10).cast("long")
+      val exploded = d.select(col("doc_id"),
+        explode(Dedup.shingles(col("text"), 5)).as("sh"))
+      val aggs = (0 until h).map(i => min(h60(col("sh"), i)).as(s"m_$i"))
+      val slow = exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+        .orderBy("doc_id").collect().map(r => (0 until h).map(i => r.getLong(i + 1)))
+      assert(fast.toSeq.map(_.toSeq) == slow.toSeq.map(_.toSeq), s"H=$h")
+    }
+  }
+
+  test("simhash expression == explode/64-bit-sum aggregation, incl. tokenless docs (r7)") {
+    val d = docs(
+      1L -> "the quick brown fox the quick brown fox",
+      2L -> "",            // no tokens: must be ABSENT, like the empty group
+      3L -> "   \t\n  ",   // whitespace-only: also absent
+      4L -> "one",
+      5L -> "漢字 テキスト mixed tokens here",
+      6L -> null.asInstanceOf[String]) // null text: absent
+    val fast = Dedup.simhash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val slow = Dedup.simhashAgg(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == slow)
+    assert(!fast.contains(2L) && !fast.contains(3L) && !fast.contains(6L))
+  }
+
+  test("LongVecEqCount == zip_with/aggregate agreement count (r7)") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.types.StructField("b",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))))
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 50).map { _ =>
+      val n = 1 + rng.nextInt(32)
+      val a = Seq.fill(n)(rng.nextLong() % 4)
+      val b = a.map(v => if (rng.nextBoolean()) v else v + 1)
+      org.apache.spark.sql.Row(a, b)
+    }
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val hof = aggregate(zip_with(col("a"), col("b"),
+      (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+    val bad = df.select(
+        graft.functions.GraftFunctions.longVecEqCount(col("a"), col("b")).as("fast"),
+        hof.as("slow"))
+      .collect().filter(r => r.getInt(0) != r.getInt(1))
+    assert(bad.isEmpty, bad.mkString("; "))
+  }
 }

@@ -326,4 +326,37 @@ class SimilaritySpec extends AnyFunSuite {
       assert(p.contains("BroadcastExchange"), "expected broadcast cap guard / drop join")
     }
   }
+
+  test("DoubleVecDot == HOF fold, and prenormed pair cosine == cosineHof, bit-identical (r7)") {
+    // the r7 portable-path rewrite (per-row norms + codegen'd double
+    // dot) must reproduce the former per-pair interpreted HOF cosine
+    // EXACTLY — the s8/s9 oracles compare hashes of values derived
+    // from these doubles
+    val rng = new scala.util.Random(99)
+    val rows = (1 to 40).map { i =>
+      (i.toLong, Seq.fill(dim)(rng.nextGaussian()))
+    }
+    val df = spark.createDataFrame(rows).toDF("id", "v")
+    val hofDot = Similarity.dotHof(col("a.v"), col("b.v"))
+    val hofCos = hofDot /
+      (sqrt(Similarity.dotHof(col("a.v"), col("a.v"))) *
+        sqrt(Similarity.dotHof(col("b.v"), col("b.v"))) + lit(1e-12))
+    val a = df.withColumn("nrm",
+      sqrt(graft.functions.GraftFunctions.dvdot(col("v"), col("v"))))
+    val pairs = a.as("a").crossJoin(a.as("b"))
+      .select(
+        graft.functions.GraftFunctions.dvdot(col("a.v"), col("b.v")).as("fastDot"),
+        hofDot.as("slowDot"),
+        (graft.functions.GraftFunctions.dvdot(col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm") + lit(1e-12))).as("fastCos"),
+        hofCos.as("slowCos"))
+      .collect()
+    // bit-level comparison: same doubles, not merely close ones
+    val bad = pairs.filter(r =>
+      java.lang.Double.doubleToRawLongBits(r.getDouble(0)) !=
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)) ||
+      java.lang.Double.doubleToRawLongBits(r.getDouble(2)) !=
+        java.lang.Double.doubleToRawLongBits(r.getDouble(3)))
+    assert(bad.isEmpty, bad.take(3).mkString("; "))
+  }
 }
