@@ -77,6 +77,11 @@ object SparkEntry {
     val near = sample.select((col("doc_id") + 10000000L).as("doc_id"),
       concat(col("text"), lit(" tailword")).as("text"))
     val exact = sample.select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+    // NOT repartitioned (r7, measured): the single-split scan does
+    // serialize the signature projections, but a blanket repartition
+    // here costs every consumer an extra full-text exchange — it won
+    // ~0.4 s on d7 and lost more on d1/d3 (0.39→0.59, 0.51→1.07).
+    // At deploy scale input splits carry the parallelism.
     base.unionByName(near).unionByName(exact)
   }
 
@@ -443,7 +448,7 @@ object SparkEntry {
       val garbled = base.filter(col("doc_id") % 25 === 0)
         .select((col("doc_id") + 30000000L).as("doc_id"),
           translate(col("text"), "aeiou", "#@|^~").as("text"))
-      TextAnalysis.lmQuality(base.unionByName(garbled))
+      TextAnalysis.lmQuality(base.unionByName(garbled)).orderBy("doc_id")
     }),
 
     // block-list content filter (q27, r6c): C4-style term filter —
@@ -455,7 +460,7 @@ object SparkEntry {
           concat(col("text"), lit(" win the JACKPOT casino bonus casino")))
           .otherwise(col("text")).as("text"))
       TextAnalysis.blocklistStats(seeded,
-        Seq("casino", "jackpot", "viagra")).limit(2000)
+        Seq("casino", "jackpot", "viagra")).orderBy("doc_id").limit(2000)
     }),
 
     // ---- dedup / similarity / fingerprint (Spark-only oracles) ----

@@ -204,8 +204,13 @@ object CorpusPipeline {
     // so they are kept unconditionally
     val semDeduped = semDedupEmbeddings match {
       case Some(embTable) =>
+        // NULL embedding VALUES are excluded like missing rows (r7,
+        // ADVICE): size(NULL) made the dim probe NPE and a null vector
+        // would reach the quantizer — such docs are kept
+        // unconditionally, the same policy as docs with no embedding
         val emb = deduped.select("url")
-          .join(embTable.select(col("url"), col("embedding")), Seq("url"))
+          .join(embTable.select(col("url"), col("embedding"))
+            .filter(col("embedding").isNotNull), Seq("url"))
         // dim from one bounded row (embeddings are fixed-width)
         emb.select(size(col("embedding"))).limit(1).collect().headOption match {
           case Some(r) =>

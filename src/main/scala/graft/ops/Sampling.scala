@@ -35,8 +35,12 @@ object Sampling {
       when(col(strataCol) === k, lit(v)).otherwise(acc)
     }
     // rate 0 short-circuits: md5Rank is in [0,1) so `< 0` is never true,
-    // but keeping the comparison explicit documents the drop-all case
-    df.filter(rank(col(keyCol).cast("string")) < rateExpr)
+    // but keeping the comparison explicit documents the drop-all case.
+    // NULL keys coalesce to a sentinel (r7, ADVICE): rank(NULL) is a
+    // NULL predicate, which silently dropped the row even in a
+    // rate-1.0 pass-through stratum — null-key rows now share one
+    // deterministic rank and obey their stratum's rate like any other.
+    df.filter(rank(coalesce(col(keyCol).cast("string"), lit(""))) < rateExpr)
   }
 
   /** Per-stratum accounting of a sampling pass: docs in, docs kept,

@@ -227,6 +227,16 @@ object Similarity {
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
     require(sample.nonEmpty, "empty corpus")
+    // no SILENT truncation (r7, VERDICT): asking for more cells than
+    // the sample can seed degrades cell populations by nCells/sampleN —
+    // downstream maxCell guards would then quietly opt whole cells out
+    // of pairing. Surface it loudly; callers sizing nCells ≈ corpus/250
+    // must raise sampleN in step.
+    if (nCells > sample.length)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"kmeansCentroids: nCells=$nCells exceeds the $sampleN-row sample " +
+          s"(${sample.length} rows) — realizing only ${sample.length} cells; " +
+          "raise sampleN to honor the requested cell count")
     var cents: Array[Array[Double]] =
       (0 until math.min(nCells, sample.length)).map(i => sample(i).clone()).toArray
     def d2(a: Array[Double], b: Array[Double]): Double = {
@@ -456,8 +466,12 @@ object Similarity {
   private def portableAssigned(corpus: DataFrame, signDims: Int): DataFrame = {
     val v = corpus.select(col("vec_id"),
       col("embedding").cast("array<double>").as("embedding"))
+    // try_element_at (r7, ADVICE): under ANSI mode a plain element_at
+    // THROWS on embeddings shorter than signDims — a ragged vector now
+    // contributes sign bit 0 for its missing coords (degrades
+    // gracefully) instead of failing the whole job
     val cellCol = (0 until signDims).map(i =>
-        when(element_at(col("embedding"), i + 1) > 0, lit(1 << i)).otherwise(lit(0)))
+        when(try_element_at(col("embedding"), lit(i + 1)) > 0, lit(1 << i)).otherwise(lit(0)))
       .reduce(_ + _)
     // per-row norm materialized ONCE (r7): the former per-pair
     // cosineHof recomputed BOTH self-dots (sqrt(dot(a,a)), sqrt(dot(b,b)))

@@ -279,10 +279,12 @@ object TextAnalysis {
     require(terms.nonEmpty && terms.forall(_.matches("[a-z0-9]+")),
       "blocklist terms must be lowercase alphanumeric (regex-safe)")
     val pat = terms.mkString("\\b(", "|", ")\\b")
+    // no orderBy here (r7, ADVICE): ordering is presentation, applied
+    // at the query edge — the op stays the pure per-row projection its
+    // contract claims, so pipeline-scale callers pay no sort exchange
     docs.select(col("doc_id"),
         regexp_count(lower(col("text")), lit(pat)).as("n_blocked"))
       .withColumn("kept", col("n_blocked") === 0)
-      .orderBy("doc_id")
   }
 
   def lmQuality(docs: DataFrame, k: Int = 3): DataFrame = {
@@ -303,6 +305,7 @@ object TextAnalysis {
         when(col("n_grams").isNotNull,
           round(col("avg_ln_df") - log(col("n_docs").cast("double")), 4))
           .otherwise(lit(0.0)).as("lm_score"))
-      .orderBy("doc_id")
+    // no orderBy here (r7, ADVICE): the op's only shuffle is the
+    // digest-keyed df aggregate; ordering belongs to the query edge
   }
 }

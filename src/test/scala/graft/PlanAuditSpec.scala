@@ -158,7 +158,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // the final orderBy
     val p25 = plan("q25_mojibake")
     assert(!p25.contains("Window"), p25)
-    assert(p25.contains("graft_fix_mojibake") || p25.contains("Project"), p25)
+    // the repair expression itself must be in the plan — `|| Project`
+    // made this vacuous (every plan has a Project; r7, ADVICE)
+    assert(p25.contains("graft_fix_mojibake"), p25)
 
     // the full-lineage pipeline with ALL r6 options on stays clean
     import org.apache.spark.sql.functions._
