@@ -121,9 +121,12 @@ object Dedup {
     // the over-cap aggregate and both sides of the self-join — and
     // without the cut each consumer re-runs the whole shingle+signature
     // pipeline (ReuseExchange only unifies the two identical join
-    // sides, not the differently-shaped cap aggregate). Same seam
-    // convention as nearDupClusters: local checkpoint by default, a
-    // cluster caller injects reliable `_.checkpoint()`.
+    // sides, not the differently-shaped cap aggregate). Bucket level,
+    // not signature level, by measurement: materializing sigs and
+    // re-deriving band keys per consumer read ~25% slower despite the
+    // bands× smaller checkpoint. Same seam convention as
+    // nearDupClusters: local checkpoint by default, a cluster caller
+    // injects reliable `_.checkpoint()`.
     val buckets = capBandBuckets(
       checkpoint(minhashBuckets(docs, k, numHashes, bands, wordGrams)), maxBandBucket)
     // fraction of matching minhashes ≈ Jaccard (Broder '97); the
@@ -148,13 +151,17 @@ object Dedup {
     * `minhashBandStats`.
     */
   private def minhashBuckets(docs: DataFrame, k: Int, numHashes: Int,
-                             bands: Int, wordGrams: Boolean = false): DataFrame = {
-    val sigs = minhashSigs(docs, k, numHashes, wordGrams)
+                             bands: Int, wordGrams: Boolean = false): DataFrame =
+    bucketsOf(minhashSigs(docs, k, numHashes, wordGrams), numHashes, bands)
+
+  /** (doc_id, sig_arr) → (doc_id, sig_arr, band, sig) band-bucket rows.
+    * Band signatures hash the same long values as the former
+    * mh_i-column formulation (sig_arr(i) == mh_i), so bucket keys are
+    * unchanged; sig_arr is an attribute (Generate barrier upstream), so
+    * the element reads below are array loads, not re-evaluations.
+    */
+  private def bucketsOf(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
-    // band signatures hash the same long values as the former
-    // mh_i-column formulation (sig_arr(i) == mh_i), so bucket keys are
-    // unchanged; sig_arr is an attribute here (Generate barrier), so
-    // the 32 element reads below are array loads, not re-evaluations
     val bandCols = (0 until bands).map { b =>
       val cols = (0 until rows).map(r => col("sig_arr")(b * rows + r))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("sig"))
@@ -185,8 +192,8 @@ object Dedup {
                            bands: Int = 4, minEstJaccard: Double = 0.5,
                            maxBandBucket: Int = DefaultMaxBandBucket,
                            checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
-    // same three-consumer materialization + codegen'd agreement count
-    // as minhashPairs (r7)
+    // same three-consumer bucket materialization + codegen'd
+    // agreement count as minhashPairs (r7)
     val buckets = capBandBuckets(
       checkpoint(minhashBucketsPortable(docs, k, numHashes, bands)), maxBandBucket)
     val est = graft.functions.GraftFunctions.longVecEqCount(
@@ -207,20 +214,28 @@ object Dedup {
     * DuckDB oracle.
     */
   private def minhashBucketsPortable(docs: DataFrame, k: Int, numHashes: Int,
-                                     bands: Int): DataFrame = {
-    // whole signature in ONE per-row pass via the codegen'd
-    // Md5MinHashSig (r7) — the former explode(shingles) → groupBy →
-    // 16 × min(conv(substr(md5(concat(sh, ':h')),1,15),16,10)) agg
-    // materialized ~text-length rows per document and re-parsed a hex
-    // string per (gram, seed). Values are bit-identical (DedupSpec
-    // equivalence test; the d6/d7/d9 DuckDB oracles gate end-to-end).
-    // The null-text filter mirrors the explode (null grams → no rows);
-    // explode(array(...)) is the Generate barrier so downstream band
-    // references read the signature attribute instead of re-evaluating.
-    val sigs = docs.filter(col("text").isNotNull)
+                                     bands: Int): DataFrame =
+    portableBucketsOf(portableSigs(docs, k, numHashes), numHashes, bands)
+
+  /** Whole md5-derived signature in ONE per-row pass via the codegen'd
+    * Md5MinHashSig (r7) — the former explode(shingles) → groupBy →
+    * 16 × min(conv(substr(md5(concat(sh, ':h')),1,15),16,10)) agg
+    * materialized ~text-length rows per document and re-parsed a hex
+    * string per (gram, seed). Values are bit-identical (DedupSpec
+    * equivalence test; the d6/d7/d9 DuckDB oracles gate end-to-end).
+    * The null-text filter mirrors the explode (null grams → no rows);
+    * explode(array(...)) is the Generate barrier so downstream band
+    * references read the signature attribute instead of re-evaluating.
+    */
+  private def portableSigs(docs: DataFrame, k: Int, numHashes: Int): DataFrame =
+    docs.filter(col("text").isNotNull)
       .select(col("doc_id"),
         explode(array(graft.functions.GraftFunctions.md5MinhashSig(
           col("text"), k, numHashes))).as("sig_arr"))
+
+  /** md5 band-signature twin of `bucketsOf` (ANSI-expressible keys). */
+  private def portableBucketsOf(sigs: DataFrame, numHashes: Int,
+                                bands: Int): DataFrame = {
     val rows = numHashes / bands
     val bandCols = (0 until bands).map { b =>
       val cols = (0 until rows).map(r => col("sig_arr")(b * rows + r))
