@@ -534,6 +534,9 @@ object SparkEntry {
       val emb = embeddings(s, dir)
       val dim = embDim(s, dir)
       val q = emb.orderBy("vec_id").limit(5)
+      // NOT checkpointed (r7, measured): the four `truth` references
+      // share one exchange via ReuseExchange, so materializing cost
+      // ~0.25 s more than it saved (1.01 → 1.27 s A/B, same window)
       val truth = Similarity.bruteForceTopK(emb, q, 10)
       Similarity.recallVs(truth, Similarity.lshTopK(emb, q, 10, dim), "lsh")
         .unionByName(Similarity.recallVs(truth, Similarity.ivfTopK(emb, q, 10, dim), "ivf"))
