@@ -190,10 +190,16 @@ object CorpusPipeline {
     // explode ~words — the order-of-magnitude difference that decides
     // whether the explode is shippable at 100 TB (measured here:
     // 25.7 s → 3 s on the sf-small extraction output)
+    // pairs stage runs WITHOUT its own bucket checkpoint (identity):
+    // byText is materialized one op upstream, so re-deriving the
+    // single-pass word-gram signatures for the cap aggregate + join
+    // (ReuseExchange shares the join sides) is cheaper than storing
+    // the bands×-signature bucket table — measured at 231k docs:
+    // 22.5 s vs 35.6 s dedup chain (r7; see minhashPairs doc)
     val pairs = Dedup.minhashPairs(
       byText.select(col("url").as("doc_id"), col("text")),
       k, numHashes, bands, minEstJaccard, maxBandBucket, wordGrams = true,
-      checkpoint = checkpoint)
+      checkpoint = identity)
     val (labels, converged, rounds) =
       Dedup.nearDupClustersStatus(pairs, maxIter, checkpoint)
     val losers = labels.filter(col("doc_id") =!= col("cluster_id"))

@@ -124,9 +124,16 @@ object Dedup {
     // sides, not the differently-shaped cap aggregate). Bucket level,
     // not signature level, by measurement: materializing sigs and
     // re-deriving band keys per consumer read ~25% slower despite the
-    // bands× smaller checkpoint. Same seam convention as
-    // nearDupClusters: local checkpoint by default, a cluster caller
-    // injects reliable `_.checkpoint()`.
+    // bands× smaller checkpoint. The right choice is INPUT-dependent —
+    // the bucket table carries the signature bands× over, so when the
+    // input frame is ALREADY materialized one op upstream, recomputing
+    // the (single-pass, projection-only) signature per consumer beats
+    // storing those bytes: at 231k pipeline docs, `identity` here
+    // measured 22.5 s vs 35.6 s checkpointed (CorpusPipeline passes
+    // identity for exactly that reason). Default serves the standalone
+    // case (raw scan upstream), where the checkpoint wins 2-3×; same
+    // seam convention as nearDupClusters — a cluster caller injects
+    // reliable `_.checkpoint()` or `identity` to match its input.
     val buckets = capBandBuckets(
       checkpoint(minhashBuckets(docs, k, numHashes, bands, wordGrams)), maxBandBucket)
     // fraction of matching minhashes ≈ Jaccard (Broder '97); the
