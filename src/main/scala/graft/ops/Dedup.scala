@@ -319,9 +319,13 @@ object Dedup {
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .distinct())
-    var labels = checkpoint(
-      edges.select(col("src").as("doc_id")).distinct()
-        .withColumn("cluster_id", col("doc_id")))
+    // init labels are NOT checkpointed (r7): a one-op distinct over the
+    // already-materialized edges, read at most twice in round 1 and then
+    // replaced by round 1's checkpointed frame — its lineage never
+    // grows, so materializing it only bought a job per query. (The
+    // per-ROUND checkpoints below stay: THOSE lineages compound.)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
     var i = 0
     var changed = 1L
     while (changed > 0 && i < maxIter) {
