@@ -37,13 +37,16 @@ object BenchExtra {
       // one untimed warm-up (JIT + codegen), like the driver bench
       try fn(spark, sfDir).count() catch { case e: Throwable =>
         System.err.println(s"[extra] $name warmup failed: ${e.getMessage}") }
+      // a failing query reports -1.0 reps (the Bench convention) so the
+      // remaining queries still run
       val counts = (1 to reps).map { i =>
         spark.sparkContext.setJobDescription(s"$name count rep$i")
-        time(fn(spark, sfDir).count())
+        try time(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 }
       }
       val noops = (1 to reps).map { i =>
         spark.sparkContext.setJobDescription(s"$name noop rep$i")
-        time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+        try time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+        catch { case _: Throwable => -1.0 }
       }
       spark.sparkContext.setJobDescription(null)
       def fmt(v: Seq[Double]) = v.map(x => f"$x%.3f").mkString("[", ",", "]")

@@ -36,11 +36,16 @@ object Sampling {
     }
     // rate 0 short-circuits: md5Rank is in [0,1) so `< 0` is never true,
     // but keeping the comparison explicit documents the drop-all case.
-    // NULL keys coalesce to a sentinel (r7, ADVICE): rank(NULL) is a
-    // NULL predicate, which silently dropped the row even in a
-    // rate-1.0 pass-through stratum — null-key rows now share one
-    // deterministic rank and obey their stratum's rate like any other.
-    df.filter(rank(coalesce(col(keyCol).cast("string"), lit(""))) < rateExpr)
+    // NULL keys are DROPPED BY THE RULE (r7, ADVICE — documented, not
+    // silent): rank(NULL) is NULL, so the predicate is never true —
+    // and the DuckDB q24 oracle's md5(NULL) rule behaves identically,
+    // so the two engines agree. A sentinel coalesce was considered and
+    // rejected: all null-key rows would share ONE rank and be kept or
+    // dropped as a block (nothing like the stratum rate) while
+    // silently diverging from the portable rule. Callers that want
+    // null-key rows sampled must assign them a real key upstream;
+    // `sampleStats` surfaces the drop as a realized-rate mismatch.
+    df.filter(rank(col(keyCol).cast("string")) < rateExpr)
   }
 
   /** Per-stratum accounting of a sampling pass: docs in, docs kept,

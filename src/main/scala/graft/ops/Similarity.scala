@@ -483,14 +483,19 @@ object Similarity {
         sqrt(graft.functions.GraftFunctions.dvdot(col("embedding"), col("embedding"))))
   }
 
-  /** Pair cosine over the precomputed norms of `portableAssigned` rows
-    * (aliases a/b fixed by `cellPairs`): dvdot(a,b) / (nrm_a·nrm_b +
-    * 1e-12) — operation-for-operation the value `cosineHof` produced
-    * (dotHof(a,b) / (sqrt(dotHof(a,a))·sqrt(dotHof(b,b)) + 1e-12)),
-    * now one codegen'd dot per pair. Bit-identity asserted in
-    * SimilaritySpec.
+  /** Pair cosine over the precomputed norms of `portableAssigned` rows:
+    * dvdot(a,b) / (nrm_a·nrm_b + 1e-12) — operation-for-operation the
+    * value `cosineHof` produced (dotHof(a,b) /
+    * (sqrt(dotHof(a,a))·sqrt(dotHof(b,b)) + 1e-12)), now one codegen'd
+    * dot per pair. Bit-identity asserted in SimilaritySpec.
+    *
+    * CONTRACT (hence the AB suffix): beyond its (embA, embB) column
+    * parameters it reads the `nrm` columns through the FIXED dataframe
+    * aliases `a`/`b` that `cellPairs` establishes — it is valid ONLY
+    * as a `cellPairs` cos callback over a `portableAssigned` input,
+    * never as a free-standing column builder.
     */
-  private def pairCosPrenormed(a: Column, b: Column): Column =
+  private def pairCosPrenormedAB(a: Column, b: Column): Column =
     graft.functions.GraftFunctions.dvdot(a, b) /
       (col("a.nrm") * col("b.nrm") + lit(1e-12))
 
@@ -505,7 +510,7 @@ object Similarity {
                             minCos: Double = 0.92,
                             maxCell: Int = 10000): DataFrame =
     cellPairs(portableAssigned(corpus, signDims), minCos, maxCell,
-      pairCosPrenormed, "vec_id")
+      pairCosPrenormedAB, "vec_id")
       .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
 
   /** SemDeDup (s7) — embedding-space SEMANTIC deduplication (Abbas et
@@ -564,5 +569,5 @@ object Similarity {
   def semDedupPortable(corpus: DataFrame, signDims: Int = 4,
                        minCos: Double = 0.92, maxCell: Int = 10000): DataFrame =
     semDedupPrune(portableAssigned(corpus, signDims), minCos, maxCell,
-      pairCosPrenormed, "vec_id")
+      pairCosPrenormedAB, "vec_id")
 }

@@ -16,12 +16,19 @@ con = duckdb.connect()
 import os
 for t in ["documents", "lineitem", "orders", "customer", "part", "events", "embeddings"]:
     p = f"{sf}/{t}.parquet"
+    if not os.path.exists(p):
+        print(f"WARN missing table {t} in {sf}; oracles using it will ERR")
+        continue
     pat = f"{p}/*.parquet" if os.path.isdir(p) else p
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{pat}')")
 
+import decimal
 def canon(v):
+    # Decimals (DuckDB ROUND etc.) must hash like the parquet floats
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
     if isinstance(v, float):
-        return f"{v:.10g}"
+        return f"{v:.10g}"  # also folds -0.0 vs 0.0 only if upstream agrees; both engines emit the same sign here
     if isinstance(v, list):
         return "[" + ",".join(canon(x) for x in v) + "]"
     return str(v)
