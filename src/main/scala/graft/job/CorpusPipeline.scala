@@ -268,21 +268,31 @@ object CorpusPipeline {
       if (scrubPii) sampled.withColumn("text", Pii.scrub(col("text")))
       else sampled
 
-    // scalar counts over materialized frames — bounded driver data
-    val counts = Seq(
-      ("1_input", input.count()),
-      ("2_quality_kept", gated.count()),
-      ("3_url_canon_dedup", byUrl.count()),
-      ("4_exact_dedup", byText.count()),
-      ("5_neardup_kept", deduped.count())) ++
-      (if (semDedupEmbeddings.isDefined) Seq(("5b_semdedup", semDeduped.count()))
+    // scalar counts over materialized frames — bounded driver data.
+    // ONE action for all stages (r7): every frame is checkpointed, so
+    // a union of per-stage count aggregates collapses 5–8 count jobs
+    // into a single job of trivial branches; values are identical.
+    val countFrames: Seq[(String, DataFrame)] = Seq(
+      ("1_input", input),
+      ("2_quality_kept", gated),
+      ("3_url_canon_dedup", byUrl),
+      ("4_exact_dedup", byText),
+      ("5_neardup_kept", deduped)) ++
+      (if (semDedupEmbeddings.isDefined) Seq(("5b_semdedup", semDeduped))
        else Seq.empty) ++
-      (if (maxDocsPerHost.isDefined) Seq(("6_host_cap", keptRaw.count()))
+      (if (maxDocsPerHost.isDefined) Seq(("6_host_cap", keptRaw))
        else Seq.empty) ++
-      (if (decontamBench.isDefined) Seq(("7_decontam", decontamed.count()))
+      (if (decontamBench.isDefined) Seq(("7_decontam", decontamed))
        else Seq.empty) ++
-      (if (sampleByLang.isDefined) Seq(("8_sample", sampled.count()))
+      (if (sampleByLang.isDefined) Seq(("8_sample", sampled))
        else Seq.empty)
+    val collected = countFrames
+      .map { case (n, df) =>
+        df.agg(count(lit(1)).as("n_rows")).select(lit(n).as("stage"), col("n_rows"))
+      }
+      .reduce(_.unionByName(_))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = countFrames.map { case (n, _) => (n, collected(n)) }
     import scala.jdk.CollectionConverters._
     val stages = spark.createDataFrame(
       counts.map { case (n, c) => org.apache.spark.sql.Row(n, c) }.asJava,
