@@ -236,9 +236,29 @@ object Dedup {
     */
   private def portableSigs(docs: DataFrame, k: Int, numHashes: Int): DataFrame =
     docs.filter(col("text").isNotNull)
+      .transform(parallelismFloor)
       .select(col("doc_id"),
         explode(array(graft.functions.GraftFunctions.md5MinhashSig(
           col("text"), k, numHashes))).as("sig_arr"))
+
+  /** Scale-adaptive parallelism floor for compute-heavy per-row kernels
+    * (guide §2.5, input parallelism): the signature projections run at
+    * input-SPLIT parallelism, so a corpus that is one small file — the
+    * sub-128 MB bench fixture, or any re-read of a compacted tiny
+    * table — serializes the whole hash kernel onto one core while the
+    * rest of the machine idles. When (and only when) the scan exposes
+    * fewer partitions than the session's parallelism, spread rows with
+    * ONE narrow round-robin exchange; at deploy scale input splits ≥
+    * cores and this is a provable no-op (no shuffle added), so it is
+    * NOT a local-mode constant — it derives from the actual input.
+    * Results are partitioning-invariant (every consumer aggregates,
+    * joins or sorts; round-robin repartition is retry-deterministic
+    * via Spark's sort-before-repartition).
+    */
+  private def parallelismFloor(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 
   /** md5 band-signature twin of `bucketsOf` (ANSI-expressible keys). */
   private def portableBucketsOf(sigs: DataFrame, numHashes: Int,
