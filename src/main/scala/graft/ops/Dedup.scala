@@ -442,7 +442,14 @@ object Dedup {
         struct(lit(0).as("in_a"), lit(1).as("in_b"), col("doc_b").as("doc_id")))).as("s"))
       .select(col("doc_a"), col("doc_b"),
         col("s.in_a").as("in_a"), col("s.in_b").as("in_b"), col("s.doc_id").as("doc_id"))
-    val grams = docs.select(col("doc_id"), ngramCol(col("text"), n).as("grams"))
+    // gram-side pre-filter (r7, guide §3.2 shape): the inner join below
+    // already drops non-candidate docs, but only AFTER their grams were
+    // computed and exploded — a semi-join on the candidate id set first
+    // means the gram explosion pays for exactly the docs in pairs
+    // (result unchanged; typically |cand docs| ≪ |docs|)
+    val candIds = sides.select("doc_id").distinct()
+    val grams = docs.join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), ngramCol(col("text"), n).as("grams"))
     // single aggregation chain: no pair-side self-join; shuffles on
     // (pair, gram) then (pair) — both partial-aggregated map-side
     sides.join(grams, "doc_id")
