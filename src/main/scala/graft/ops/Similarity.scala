@@ -392,15 +392,9 @@ object Similarity {
         round(col("hits").cast("double") / col("total"), 4).as("recall_at_k"))
   }
 
-  /** Double-precision HOF cosine for the portable SemDeDup twin — the
-    * oracle (DuckDB `list_dot_product` over DOUBLE[]) computes in
-    * double, so the twin must too; FloatVecDot accumulates from float
-    * inputs and could disagree in the last bits at a threshold
-    * boundary. Oracle-path only (interpreted HOFs are fine off the
-    * production path).
-    */
-  private def cosineHof(a: Column, b: Column): Column =
-    dotHof(a, b) / (sqrt(dotHof(a, a)) * sqrt(dotHof(b, b)) + lit(1e-12))
+  // (r7) the former per-pair double-precision `cosineHof` lives on only
+  // as the equivalence-test twin inlined in SimilaritySpec — the live
+  // portable path is `pairCosPrenormedAB` below, bit-identical to it.
 
   /** Shared SemDeDup prune over a cell-assigned corpus
     * (vec_id, embedding, cell): drop every vector that has a LOWER-id
