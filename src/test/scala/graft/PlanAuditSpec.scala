@@ -63,9 +63,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p2.contains("InMemoryTableScan"), "d2 still caches signatures")
     val p4 = plan("d4_ngram_jaccard")
     assert(!p4.contains("InMemoryTableScan"), "d4 still caches candidates")
-    // pair melted to sides -> the gram table is joined exactly once
+    // pair melted to sides -> the gram table is joined exactly once;
+    // r7 adds a deliberate LeftSemi that prunes the gram side to
+    // candidate docs BEFORE the explode (guide §3.2 shape), so the
+    // budget is: blocking self-join + candidate semi-join + one gram
+    // join — and the semi-join must actually be present
     val gramJoins = p4.linesIterator.count(l => l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
-    assert(gramJoins <= 2, s"expected blocking join + one gram join, got $gramJoins:\n$p4")
+    assert(gramJoins <= 3, s"expected blocking + semi-prune + one gram join, got $gramJoins:\n$p4")
+    assert(p4.contains("LeftSemi"), s"gram side must be candidate-pruned (LeftSemi):\n$p4")
   }
 
   test("s2/s4: ANN ranking is a partial aggregation, not a window exchange") {
