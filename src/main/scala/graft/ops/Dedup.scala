@@ -109,8 +109,9 @@ object Dedup {
     *
     * Each bucket row carries the full signature array (~256 B at H=32),
     * so candidate pairs get both signatures directly from the bucket
-    * join — one pass over the shingle explosion, no persist, no
-    * join-back to the signature table.
+    * join — no join-back to the signature table. The bucket table is
+    * materialized once through the `checkpoint` seam (r7; see the note
+    * at the call below for when a caller should pass `identity`).
     */
   def minhashPairs(docs: DataFrame, k: Int = 5, numHashes: Int = 32,
                    bands: Int = 8, minEstJaccard: Double = 0.5,
